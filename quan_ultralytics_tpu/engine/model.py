@@ -1,0 +1,124 @@
+"""YOLO model facade: the user-facing entry point.
+
+Analog of reference engine/model.py (Model :29): ``YOLO("yolo11n-obb-quan.yaml")``
+then ``.train(...)`` / ``.val(...)`` / ``.predict(...)``. Weights live in an
+explicit variables pytree (JAX-style); checkpoints are pickled pytrees plus
+orbax for training state.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quan_ultralytics_tpu.data.augment import AugmentHyp
+from quan_ultralytics_tpu.data.dataset import YOLODataset
+from quan_ultralytics_tpu.data.build import build_dataloader
+from quan_ultralytics_tpu.engine.predictor import Predictor, Results
+from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+from quan_ultralytics_tpu.engine.validator import Validator
+from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+
+class YOLO:
+    """``YOLO(model_yaml_or_ckpt)``; task inferred from the head module."""
+
+    def __init__(self, model: str = "yolo11n-obb-quan.yaml", nc: Optional[int] = None,
+                 dtype: Any = None):
+        if str(model).endswith((".pkl", ".ckpt")):
+            payload = pickle.loads(Path(model).read_bytes())
+            self.model = DetectionModel.from_yaml(payload["model_yaml"], nc=payload["nc"], dtype=dtype)
+            self.variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+            self.model_yaml = payload["model_yaml"]
+            self.names = payload.get("names")
+        else:
+            self.model = DetectionModel.from_yaml(model, nc=nc, dtype=dtype)
+            self.variables = None
+            self.model_yaml = str(model)
+            self.names = None
+        self.task = self.model.task
+
+    # ------------------------------------------------------------------
+    def _ensure_variables(self, seed: int = 0):
+        if self.variables is None:
+            self.variables = self.model.init(jax.random.PRNGKey(seed))
+        return self.variables
+
+    def train(self, data: Union[str, Dict], epochs: int = 100, batch: int = 16,
+              imgsz: int = 640, max_labels: int = 128, save_dir: str = "runs/train",
+              log=print, **overrides) -> Dict[str, float]:
+        """Train on a YOLO-format dataset yaml (reference Model.train :742)."""
+        ds = YOLODataset(data, split="train", task=self.task)
+        if self.model.nc != ds.nc:
+            self.model = DetectionModel.from_yaml(self.model_yaml, nc=ds.nc)
+        self.names = ds.names
+        cfg = TrainConfig(epochs=epochs, batch=batch, imgsz=imgsz, save_dir=save_dir,
+                          **{k: v for k, v in overrides.items() if hasattr(TrainConfig, k)})
+        steps_per_epoch = max(len(ds) // batch, 1)
+        trainer = Trainer(self.model, cfg, steps_per_epoch)
+        state = trainer.init_state()
+        step_fn = trainer.make_train_step()
+        hyp = AugmentHyp()
+        out_dir = Path(save_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        best_fitness = -1.0
+        history = []
+        try:
+            val_ds = YOLODataset(data, split="val", task=self.task)
+        except Exception:
+            val_ds = ds
+        validator = Validator(self.model, imgsz=imgsz)
+        for epoch in range(epochs):
+            losses = []
+            for bi, b in enumerate(build_dataloader(ds, batch, imgsz, hyp=hyp,
+                                                    max_labels=max_labels, seed=epoch)):
+                b = {k: jnp.asarray(v) for k, v in b.items()}
+                state, loss, aux = step_fn(state, b)
+                losses.append(float(loss))
+            metrics = validator(state.variables(ema=True), val_ds, batch_size=batch)
+            fitness = metrics["mAP50-95"] * 0.9 + metrics["mAP50"] * 0.1  # reference fitness
+            row = {"epoch": epoch, "loss": float(np.mean(losses)), **metrics}
+            history.append(row)
+            log(f"epoch {epoch}: loss {row['loss']:.3f} mAP50 {metrics['mAP50']:.4f} "
+                f"mAP50-95 {metrics['mAP50-95']:.4f}")
+            self._save_ckpt(out_dir / "last.pkl", state)
+            if fitness > best_fitness:
+                best_fitness = fitness
+                self._save_ckpt(out_dir / "best.pkl", state)
+            (out_dir / "results.json").write_text(json.dumps(history, indent=2))
+        # load best like reference Model.train (:812-815)
+        best = pickle.loads((out_dir / "best.pkl").read_bytes())
+        self.variables = {"params": best["params"], "batch_stats": best["batch_stats"]}
+        return history[-1] if history else {}
+
+    def _save_ckpt(self, path: Path, state):
+        payload = {
+            "model_yaml": self.model_yaml,
+            "nc": self.model.nc,
+            "names": self.names,
+            "params": jax.device_get(state.ema_params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "raw_params": jax.device_get(state.params),
+            "step": int(state.step),
+        }
+        path.write_bytes(pickle.dumps(payload))
+
+    def val(self, data: Union[str, Dict], split: str = "val", imgsz: int = 640,
+            batch: int = 8, conf: float = 0.001, iou: float = 0.7) -> Dict[str, float]:
+        ds = YOLODataset(data, split=split, task=self.task)
+        validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou)
+        return validator(self._ensure_variables(), ds, batch_size=batch)
+
+    def predict(self, source, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,
+                max_det: int = 300) -> List[Results]:
+        predictor = Predictor(self.model, imgsz=imgsz, conf=conf, iou=iou,
+                              max_det=max_det, names=self.names)
+        return predictor(self._ensure_variables(), source)
+
+    __call__ = predict

@@ -1,0 +1,130 @@
+"""Task-Aligned Assigner as fixed-shape, jit-friendly tensor ops.
+
+Re-implements reference ultralytics/utils/tal.py:14-331 (TaskAlignedAssigner
+and RotatedTaskAlignedAssigner). The reference is already pure tensor math;
+here every data-dependent branch becomes a `where`, ground truths arrive
+padded to a static ``M`` with a validity mask, and boolean advanced indexing
+becomes dense masked computation — so the whole assignment jits and shards.
+
+Run this in fp32: the align metric takes overlaps**6.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quan_ultralytics_tpu.ops.boxes import bbox_iou, probiou, xywhr2xyxyxyxy
+
+
+class AssignResult(NamedTuple):
+    target_labels: jnp.ndarray  # [B, A] int32
+    target_bboxes: jnp.ndarray  # [B, A, 4|5]
+    target_scores: jnp.ndarray  # [B, A, nc] float
+    fg_mask: jnp.ndarray        # [B, A] bool
+    target_gt_idx: jnp.ndarray  # [B, A] int32
+
+
+def _candidates_in_gts(anc_points: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Axis-aligned: anchor strictly inside the gt box (tal.py:252-276)."""
+    lt = gt_bboxes[..., None, :2]  # [B, M, 1, 2]
+    rb = gt_bboxes[..., None, 2:4]
+    deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
+    return deltas.min(axis=-1) > eps  # [B, M, A]
+
+
+def _candidates_in_rotated_gts(anc_points: jnp.ndarray, gt_bboxes: jnp.ndarray) -> jnp.ndarray:
+    """Rotated: point-in-rotated-rect via edge projections (tal.py:305-331)."""
+    corners = xywhr2xyxyxyxy(gt_bboxes)  # [B, M, 4, 2]
+    a, b, d = corners[..., 0, :], corners[..., 1, :], corners[..., 3, :]
+    ab = (b - a)[..., None, :]  # [B, M, 1, 2]
+    ad = (d - a)[..., None, :]
+    ap = anc_points[None, None] - a[..., None, :]  # [B, M, A, 2]
+    norm_ab = (ab * ab).sum(-1)
+    norm_ad = (ad * ad).sum(-1)
+    ap_ab = (ap * ab).sum(-1)
+    ap_ad = (ap * ad).sum(-1)
+    return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
+
+
+def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
+    """Reference select_topk_candidates (tal.py:160-193) incl. its index-0
+    collision quirk: invalid rows scatter all their k picks onto index 0,
+    and any count > 1 is dropped."""
+    B, M, A = metrics.shape
+    _, idx = jax.lax.top_k(metrics, topk)  # [B, M, k]
+    idx = jnp.where(valid_gt[..., None], idx, 0)
+    count = jax.nn.one_hot(idx, A, dtype=jnp.int32).sum(axis=2)  # [B, M, A]
+    return jnp.where(count > 1, 0, count).astype(metrics.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta", "rotated"))
+def task_aligned_assigner(
+    pd_scores: jnp.ndarray,   # [B, A, nc] sigmoid probabilities
+    pd_bboxes: jnp.ndarray,   # [B, A, 4] xyxy or [B, A, 5] xywhr (pixels)
+    anc_points: jnp.ndarray,  # [A, 2] pixels
+    gt_labels: jnp.ndarray,   # [B, M] int
+    gt_bboxes: jnp.ndarray,   # [B, M, 4|5]
+    mask_gt: jnp.ndarray,     # [B, M] bool
+    num_classes: int,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+    rotated: bool = False,
+) -> AssignResult:
+    B, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    pd_scores = pd_scores.astype(jnp.float32)
+    pd_bboxes = pd_bboxes.astype(jnp.float32)
+    gt_bboxes = gt_bboxes.astype(jnp.float32)
+
+    if rotated:
+        mask_in_gts = _candidates_in_rotated_gts(anc_points, gt_bboxes)
+        overlaps_fn = lambda g, p: jnp.clip(probiou(g, p), 0)
+    else:
+        mask_in_gts = _candidates_in_gts(anc_points, gt_bboxes)
+        overlaps_fn = lambda g, p: jnp.clip(bbox_iou(g, p, xywh=False, ciou=True), 0)
+
+    mask = mask_in_gts & mask_gt[..., None]  # [B, M, A]
+
+    # Alignment metric (tal.py:137-156): score of each anchor for the gt
+    # class, times IoU, both zeroed outside the candidate mask.
+    gt_lab = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
+    scores_for_gt = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1), gt_lab[..., None], axis=1
+    )  # [B, M, A]
+    bbox_scores = jnp.where(mask, scores_for_gt, 0.0)
+    overlaps = jnp.where(mask, overlaps_fn(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0.0)
+    align_metric = bbox_scores**alpha * overlaps**beta
+
+    mask_topk = _select_topk_mask(align_metric, topk, mask_gt)
+    mask_pos = mask_topk * mask_in_gts.astype(jnp.float32) * mask_gt[..., None].astype(jnp.float32)
+
+    # Resolve anchors claimed by multiple gts by highest overlap (tal.py:277-296).
+    fg_count = mask_pos.sum(axis=-2)  # [B, A]
+    mask_multi = (fg_count > 1)[:, None, :]  # [B, 1, A]
+    max_overlap_gt = overlaps.argmax(axis=1)  # [B, A]
+    is_max = jax.nn.one_hot(max_overlap_gt, M, dtype=jnp.float32).transpose(0, 2, 1)  # [B, M, A]
+    mask_pos = jnp.where(mask_multi, is_max, mask_pos)
+    fg_mask_f = mask_pos.sum(axis=-2)
+    target_gt_idx = mask_pos.argmax(axis=-2)  # [B, A]
+    fg_mask = fg_mask_f > 0
+
+    # Gather targets (tal.py:195-250).
+    target_labels = jnp.take_along_axis(gt_lab, target_gt_idx, axis=1)  # [B, A]
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+    target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=jnp.float32)
+    target_scores = target_scores * fg_mask[..., None]
+
+    # Normalize by per-gt best alignment (tal.py:117-125).
+    align_metric = align_metric * mask_pos
+    pos_align = align_metric.max(axis=-1, keepdims=True)   # [B, M, 1]
+    pos_overlap = (overlaps * mask_pos).max(axis=-1, keepdims=True)
+    norm = (align_metric * pos_overlap / (pos_align + eps)).max(axis=-2)[..., None]  # [B, A, 1]
+    target_scores = target_scores * norm
+
+    return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)

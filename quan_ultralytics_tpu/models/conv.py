@@ -1,0 +1,289 @@
+"""Quaternion convolution / normalization flax modules.
+
+Channel conventions match the reference: all public channel counts are in
+*total* quaternion-channel space (multiples of 4; internally C_total // 4
+per-component channels), and an input channel count of 3 marks the RGB first
+layer which applies the RGB->quaternion mapping
+(reference: ultralytics/nn/modules/conv.py:109-126).
+
+Activation layout is BHWQC ``[B, H, W, 4, C]`` (see package docstring).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from quan_ultralytics_tpu.ops.mappings import rgb_to_quaternion
+from quan_ultralytics_tpu.ops.qconv import autopad, qconv2d, qdense
+from quan_ultralytics_tpu.ops.pooling import qupsample
+
+IntOr2 = Union[int, Tuple[int, int]]
+
+# Per-(mapping, component) init scale factors, reference conv.py:237-245.
+SCALE_FACTORS = {
+    "luminance": (1.0, 1.0, 1.0, 1.0),
+    "mean_brightness": (1.0, 0.75, 0.75, 0.75),
+    "raw_normalized": (1.0, 1.0, 1.0, 1.0),
+    "hamilton": (1.0, 1.0, 1.0, 1.0),
+    "poincare": (1.0, 1.0, 1.0, 1.0),
+}
+_DEFAULT_SCALES = (0.5, 0.5, 0.5, 0.5)
+
+
+def qconv_kaiming_uniform(mapping_type: str = "poincare"):
+    """Per-component scaled kaiming_uniform, reference conv.py:232-256.
+
+    torch.nn.init.kaiming_uniform_(w, a=sqrt(5)*scale) with
+    fan_in = C_in_per_group * kH * kW:
+    bound = sqrt(3) * sqrt(2 / (1 + a^2)) / sqrt(fan_in).
+    """
+    scales = SCALE_FACTORS.get(mapping_type, _DEFAULT_SCALES)
+
+    def init(key, shape, dtype=jnp.float32):
+        # shape: [4, kH, kW, C_in_per_group, C_out]
+        assert shape[0] == 4
+        fan_in = shape[1] * shape[2] * shape[3]
+        keys = jax.random.split(key, 4)
+        comps = []
+        for i, s in enumerate(scales):
+            a = math.sqrt(5.0) * s
+            bound = math.sqrt(3.0) * math.sqrt(2.0 / (1.0 + a * a)) / math.sqrt(max(fan_in, 1))
+            comps.append(jax.random.uniform(keys[i], shape[1:], dtype, -bound, bound))
+        return jnp.stack(comps)
+
+    return init
+
+
+def qconv_bias_uniform(mapping_type: str = "poincare"):
+    """Real-bias init, reference conv.py:253-256: U(-b, b), b = scale_r/sqrt(fan_in)."""
+    scales = SCALE_FACTORS.get(mapping_type, _DEFAULT_SCALES)
+
+    def init(key, shape, dtype=jnp.float32, fan_in: int = 1):
+        bound = scales[0] / math.sqrt(max(fan_in, 1))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class QConv2D(nn.Module):
+    """Separable quaternion 2D convolution (reference conv.py:70-499).
+
+    ``c1 == 3`` selects the RGB first layer: the input ``[B, H, W, 3]`` is
+    mapped to one quaternion channel before the conv (conv.py:118-123).
+    """
+
+    c1: int
+    c2: int
+    k: IntOr2 = 1
+    s: IntOr2 = 1
+    p: Optional[IntOr2] = None  # None -> autopad ('same' for stride 1)
+    g: int = 1
+    d: IntOr2 = 1
+    use_bias: bool = True
+    mapping_type: str = "poincare"
+    dtype: Any = None  # compute dtype; params stay float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        first = self.c1 == 3
+        if first:
+            assert x.ndim == 4 and x.shape[-1] == 3, f"RGB first layer expects NHWC, got {x.shape}"
+            x = rgb_to_quaternion(x, self.mapping_type)
+            cin = 1
+        else:
+            assert self.c1 % 4 == 0, f"c1={self.c1} must be a multiple of 4"
+            cin = self.c1 // 4
+            assert x.shape[-1] == cin and x.shape[-2] == 4, f"expected [...,4,{cin}], got {x.shape}"
+        assert self.c2 % 4 == 0, f"c2={self.c2} must be a multiple of 4"
+        cout = self.c2 // 4
+        assert cin % self.g == 0
+
+        kh, kw = (self.k, self.k) if isinstance(self.k, int) else self.k
+        pad = autopad(self.k, self.p, self.d)
+
+        w = self.param(
+            "w",
+            qconv_kaiming_uniform(self.mapping_type),
+            (4, kh, kw, cin // self.g, cout),
+            jnp.float32,
+        )
+        b = None
+        if self.use_bias:
+            fan_in = kh * kw * (cin // self.g)
+            b = self.param(
+                "b",
+                lambda key, shape, dtype=jnp.float32: qconv_bias_uniform(self.mapping_type)(
+                    key, shape, dtype, fan_in=fan_in
+                ),
+                (cout,),
+                jnp.float32,
+            )
+        dtype = self.dtype or x.dtype
+        return qconv2d(
+            x.astype(dtype),
+            w,
+            b,
+            stride=self.s,
+            padding=pad,
+            dilation=self.d,
+            groups=self.g,
+        )
+
+
+class IQBN(nn.Module):
+    """Independent Quaternion Batch Norm (reference conv.py:501-571).
+
+    Separate statistics and affine per (component, channel): gamma/beta and
+    running stats are shaped ``[4, C]``. Batch statistics are taken over
+    (B, H, W); in train mode the variance gets the reference's extra 1e-8
+    (conv.py:557) before both the running update and the normalisation.
+
+    Under `pjit` data parallelism the batch reduction spans the *global*
+    batch (XLA inserts the cross-replica collectives), i.e. synced BN. The
+    reference computes per-GPU statistics; global stats are a strict quality
+    improvement and identical in the single-chip case.
+    """
+
+    c: int  # total channels (4 * per-component)
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.c % 4 == 0
+        C = self.c // 4
+        assert x.shape[-1] == C and x.shape[-2] == 4, f"expected [...,4,{C}], got {x.shape}"
+        gamma = self.param("gamma", nn.initializers.ones, (4, C), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (4, C), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((4, C), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((4, C), jnp.float32))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=(0, 1, 2))
+            var = xf.var(axis=(0, 1, 2)) + 1e-8
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        dtype = self.dtype or x.dtype
+        scale = (gamma * jax.lax.rsqrt(var + self.eps)).astype(dtype)
+        shift = (beta - gamma * mean * jax.lax.rsqrt(var + self.eps)).astype(dtype)
+        return x.astype(dtype) * scale + shift
+
+
+class IQLN(nn.Module):
+    """Quaternion layer norm over (H, W, C) per component (conv.py:588-611)."""
+
+    c: int  # total channels
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = self.c // 4
+        weight = self.param("weight", nn.initializers.ones, (4, C), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (4, C), jnp.float32)
+        xf = x.astype(jnp.float32)
+        # Reference normalizes over (C, H, W) keeping batch and Q separate.
+        mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+        var = xf.var(axis=(1, 2, 4), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * weight + bias).astype(x.dtype)
+
+
+class Conv(nn.Module):
+    """QConv2D + IQBN + SiLU — the universal block (reference conv.py:788-813).
+
+    The whole YOLO graph is quaternion-by-construction because every "Conv"
+    in the YAML resolves to this.
+    """
+
+    c1: int
+    c2: int
+    k: IntOr2 = 1
+    s: IntOr2 = 1
+    p: Optional[IntOr2] = None
+    g: int = 1
+    d: IntOr2 = 1
+    act: bool = True
+    mapping_type: str = "poincare"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = QConv2D(
+            self.c1, self.c2, self.k, self.s, self.p, self.g, self.d,
+            use_bias=False, mapping_type=self.mapping_type, dtype=self.dtype, name="conv",
+        )(x)
+        x = IQBN(self.c2, dtype=self.dtype, name="bn")(x, train=train)
+        return nn.silu(x) if self.act else x
+
+
+def DWConv(c1: int, c2: int, k: IntOr2 = 1, s: IntOr2 = 1, d: IntOr2 = 1, act: bool = True, **kw) -> Conv:
+    """Depth-wise quaternion conv: groups = gcd(c1//4, c2//4) (conv.py:918-923)."""
+    return Conv(c1, c2, k, s, g=math.gcd(c1 // 4, c2 // 4), d=d, act=act, **kw)
+
+
+class QUpsample(nn.Module):
+    """Nearest/bilinear upsample over BHWQC (reference conv.py:1218-1246)."""
+
+    scale: int = 2
+    mode: str = "nearest"
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return qupsample(x, self.scale, self.mode)
+
+
+class QDense(nn.Module):
+    """Quaternion dense layer with full Hamilton product.
+
+    Reference: classification/quaternion/qconv.py:878-998. Input/output are
+    ``[..., 4, F]`` (the reference flattens to component-major 1D and splits
+    into quarters; keeping the axes explicit is equivalent).
+    """
+
+    f_in: int  # total input features (multiple of 4)
+    f_out: int
+    use_bias: bool = True
+    mapping_type: str = "poincare"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.f_in % 4 == 0 and self.f_out % 4 == 0
+        fi, fo = self.f_in // 4, self.f_out // 4
+        assert x.shape[-1] == fi and x.shape[-2] == 4, f"expected [...,4,{fi}], got {x.shape}"
+        scales = SCALE_FACTORS.get(self.mapping_type, _DEFAULT_SCALES)
+
+        def w_init(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, 4)
+            comps = []
+            for i, s in enumerate(scales):
+                a = math.sqrt(5.0) * s
+                bound = math.sqrt(3.0) * math.sqrt(2.0 / (1.0 + a * a)) / math.sqrt(fi)
+                comps.append(jax.random.uniform(keys[i], shape[1:], dtype, -bound, bound))
+            return jnp.stack(comps)
+
+        w = self.param("w", w_init, (4, fi, fo), jnp.float32)
+        b = None
+        if self.use_bias:
+            def b_init(key, shape, dtype=jnp.float32):
+                keys = jax.random.split(key, 4)
+                rows = []
+                for i, s in enumerate(scales):
+                    bound = s / math.sqrt(fi)
+                    rows.append(jax.random.uniform(keys[i], shape[1:], dtype, -bound, bound))
+                return jnp.stack(rows)
+
+            b = self.param("b", b_init, (4, fo), jnp.float32)
+        dtype = self.dtype or x.dtype
+        return qdense(x.astype(dtype), w, b)

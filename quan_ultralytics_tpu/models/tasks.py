@@ -1,0 +1,232 @@
+"""YAML -> flax model compiler and task models.
+
+Re-implements the reference `parse_model` channel bookkeeping
+(ultralytics/nn/tasks.py:942-1098) for the module set the QUAN YAMLs use,
+producing a static layer spec that a single flax module walks — the
+skip-connection save-list graph walk of `BaseModel._predict_once`
+(tasks.py:140-167) becomes a plain Python loop under `nn.compact` (traced
+once, compiled by XLA).
+
+Strides are derived analytically while parsing (cumulative stride per layer)
+instead of the reference's dry forward probe (tasks.py:332-346).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import yaml
+
+from quan_ultralytics_tpu.models import block as B
+from quan_ultralytics_tpu.models import conv as C
+from quan_ultralytics_tpu.models import head as H
+
+CFG_DIR = Path(__file__).resolve().parent.parent / "cfg" / "models"
+
+SCALE_RE = re.compile(r"yolo\d+([nslmx])")
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round up to the nearest multiple (reference utils/ops.py make_divisible)."""
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    i: int
+    f: Tuple[int, ...]  # input layer indices (-1 = previous); singleton for most
+    module: str
+    args: Tuple[Any, ...]
+    n: int  # repeats (absorbed into module args for CSP blocks)
+    c2: int  # output channels (total quaternion space)
+    stride: int  # cumulative stride of the output
+
+
+# Modules that take (c1, c2, ...) and get width scaling on args[0].
+_CONV_LIKE = {"Conv", "DWConv", "Bottleneck", "QSPPF", "C3", "C3k", "C3k2", "QC3k2", "QC2PSA", "Classify"}
+# CSP-style modules that absorb the repeat count as arg index 2.
+_ABSORB_N = {"C3", "C3k", "C3k2", "QC3k2", "QC2PSA"}
+_HEADS = {"Detect", "OBB"}
+
+
+def resolve_model_cfg(model: str) -> Tuple[Dict, str]:
+    """Resolve 'yolo11n-obb-quan.yaml' (or a path) to (cfg dict, scale char).
+
+    Mirrors the reference naming convention: the scale letter follows the
+    architecture number ('yolo11n-...' -> scale 'n', base file
+    'yolo11-...yaml')."""
+    name = Path(model).name
+    m = SCALE_RE.search(name)
+    scale = m.group(1) if m else ""
+    base = re.sub(r"(yolo\d+)[nslmx]", r"\1", name)
+    path = Path(model) if Path(model).exists() else CFG_DIR / base
+    if not path.exists():
+        raise FileNotFoundError(f"model config {model!r} not found (looked at {path})")
+    with open(path) as fh:
+        cfg = yaml.safe_load(fh)
+    if not scale:
+        scale = next(iter(cfg.get("scales", {"n": None})))
+    return cfg, scale
+
+
+def parse_model(cfg: Dict, scale: str, nc: Optional[int] = None) -> Tuple[List[LayerSpec], List[int], int]:
+    """Compile a model YAML into layer specs.
+
+    Returns (specs, save_list, nc). Channel arithmetic matches reference
+    tasks.py:1016 (`make_divisible(min(c2, max_channels) * width, 8)`),
+    depth scaling tasks.py:969 (`max(round(n * depth), 1)`), and the
+    C3k2 m/l/x rule tasks.py:1045-1048.
+    """
+    nc = nc if nc is not None else cfg.get("nc", 80)
+    depth, width, max_channels = cfg["scales"][scale]
+    # ch[i] / strides[i] refer to layer i's output; layer 0 reads the RGB
+    # input (3 ch, stride 1). Mirrors the reference's `if i == 0: ch = []`
+    # reset (tasks.py:1094-1097).
+    ch: List[int] = []
+    strides: List[int] = []
+    specs: List[LayerSpec] = []
+    save: List[int] = []
+
+    for i, (f, n, m, args) in enumerate(cfg["backbone"] + cfg["head"]):
+        args = [nc if a == "nc" else a for a in args]
+        n_scaled = max(round(n * depth), 1) if n > 1 else n
+        fs = tuple(f) if isinstance(f, list) else (f,)
+        in_ch = [ch[x] if (x != -1 or ch) else 3 for x in fs]
+        in_stride = [strides[x] if (x != -1 or strides) else 1 for x in fs]
+
+        if m in _CONV_LIKE:
+            c1, c2 = in_ch[0], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            margs: List[Any] = [c1, c2, *args[1:]]
+            if m in _ABSORB_N:
+                margs.insert(2, n_scaled)
+                n_scaled = 1
+            if m == "C3k2" and scale in "mlx":
+                margs[3] = True
+            stride = in_stride[0] * (2 if m in {"Conv", "DWConv"} and len(margs) > 3 and margs[3] == 2 else 1)
+        elif m == "QUpsample":
+            c2 = in_ch[0]
+            margs = list(args)
+            stride = in_stride[0] // int(args[0])
+        elif m == "Concat":
+            c2 = sum(in_ch)
+            margs = []
+            stride = in_stride[0]
+        elif m in _HEADS:
+            margs = [*args, tuple(in_ch), tuple(in_stride)]
+            c2 = 0
+            stride = in_stride[0]
+        else:
+            raise ValueError(f"unsupported module {m!r} in model YAML")
+
+        specs.append(LayerSpec(i, fs, m, tuple(margs), n_scaled, c2, stride))
+        save.extend(x % i for x in fs if x != -1)
+        ch.append(c2)
+        strides.append(stride)
+
+    return specs, sorted(set(save)), nc
+
+
+class QUANYOLO(nn.Module):
+    """The full YOLO graph compiled from a layer-spec tuple.
+
+    Returns the head output: for Detect a list of per-level maps
+    ``[B, H, W, 4*reg_max + nc]``; for OBB a (feats, angles) pair.
+    """
+
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+    dtype: Any = None
+    mapping_type: str = "poincare"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        out = None
+        for spec in self.specs:
+            inputs = [y if j == -1 else saved[j] for j in spec.f]
+            name = f"model_{spec.i}"
+            m, a = spec.module, spec.args
+            if m == "Conv":
+                y = C.Conv(*a, mapping_type=self.mapping_type, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "DWConv":
+                y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "C3k2":
+                y = B.C3k2(*a, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "QSPPF":
+                y = B.QSPPF(*a, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "QC2PSA":
+                y = B.QC2PSA(*a, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "QUpsample":
+                y = C.QUpsample(int(a[0]), str(a[1]) if len(a) > 1 else "nearest", name=name)(inputs[0])
+            elif m == "Concat":
+                y = B.qconcat(inputs)
+            elif m == "Detect":
+                nc, ch, strides = a
+                y = H.Detect(nc, ch, strides, dtype=self.dtype, name=name)(inputs, train)
+                out = y
+            elif m == "OBB":
+                nc, ne, ch, strides = a
+                y = H.OBB(nc, ch, ne, strides, dtype=self.dtype, name=name)(inputs, train)
+                out = y
+            elif m == "Classify":
+                y = H.Classify(*a, dtype=self.dtype, name=name)(inputs[0], train)
+                out = y
+            else:  # pragma: no cover
+                raise ValueError(f"unknown module {m}")
+            if spec.i in self.save:
+                saved[spec.i] = y
+        return out
+
+
+@dataclass
+class DetectionModel:
+    """Task model facade: builds the flax module + static metadata.
+
+    Analog of reference nn/tasks.py DetectionModel (:308) / OBBModel (:400),
+    minus nn.Module state — params live in an external pytree (JAX-style).
+    """
+
+    cfg: Dict
+    scale: str
+    nc: int
+    task: str  # "detect" | "obb"
+    module: QUANYOLO
+    specs: List[LayerSpec]
+    strides: Tuple[int, ...]
+    reg_max: int = 16
+    mapping_type: str = "poincare"
+
+    @classmethod
+    def from_yaml(cls, model: str, nc: Optional[int] = None, dtype: Any = None,
+                  mapping_type: str = "poincare") -> "DetectionModel":
+        cfg, scale = resolve_model_cfg(model)
+        specs, save, nc_ = parse_model(cfg, scale, nc)
+        head = specs[-1]
+        task = "obb" if head.module == "OBB" else ("classify" if head.module == "Classify" else "detect")
+        strides = head.args[-1]
+        module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype, mapping_type=mapping_type)
+        return cls(cfg, scale, nc_, task, module, specs, strides, mapping_type=mapping_type)
+
+    def init(self, rng, imgsz: int = 64):
+        x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        return self.module.init(rng, x, train=False)
+
+    def apply(self, variables, x, train: bool = False, mutable=False, rngs=None):
+        return self.module.apply(variables, x, train=train, mutable=mutable, rngs=rngs)
+
+    def decode(self, out):
+        """Head output -> [B, A, ...] predictions in input-pixel units."""
+        if self.task == "obb":
+            feats, angles = out
+            return H.decode_obb(feats, angles, self.strides, self.nc, self.reg_max)
+        return H.decode_detect(out, self.strides, self.nc, self.reg_max)

@@ -1,0 +1,280 @@
+"""Box math: anchors, DFL decode, rotated boxes, probiou, fixed-shape NMS.
+
+Pure-jnp, fully jittable re-implementations of the reference box utilities
+(ultralytics/utils/tal.py:333-386, utils/metrics.py:178-277,
+utils/ops.py:146-333). Everything is fixed-shape: NMS is the reference's
+one-shot "fast-NMS" (all-pairs upper-triangular suppression), which is
+already export-friendly and maps cleanly onto XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Anchors and distance decoding (reference utils/tal.py:333-386)
+# ---------------------------------------------------------------------------
+
+def make_anchors(
+    feat_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    grid_cell_offset: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor centers (in feature-grid units) and per-anchor strides.
+
+    Args:
+      feat_shapes: [(H, W), ...] per detection level.
+      strides: stride per level.
+    Returns:
+      anchor_points ``[A, 2]`` (x, y), stride_tensor ``[A, 1]``.
+    """
+    points, stride_list = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        sx = jnp.arange(w, dtype=jnp.float32) + grid_cell_offset
+        sy = jnp.arange(h, dtype=jnp.float32) + grid_cell_offset
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        points.append(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+        stride_list.append(jnp.full((h * w, 1), s, dtype=jnp.float32))
+    return jnp.concatenate(points), jnp.concatenate(stride_list)
+
+
+def dist2bbox(distance: jnp.ndarray, anchor_points: jnp.ndarray, xywh: bool = True) -> jnp.ndarray:
+    """(l, t, r, b) distances -> xywh or xyxy boxes."""
+    lt, rb = distance[..., :2], distance[..., 2:]
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        return jnp.concatenate([(x1y1 + x2y2) / 2, x2y2 - x1y1], axis=-1)
+    return jnp.concatenate([x1y1, x2y2], axis=-1)
+
+
+def bbox2dist(anchor_points: jnp.ndarray, bbox: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """xyxy boxes -> (l, t, r, b) clipped to [0, reg_max - 0.01]."""
+    x1y1, x2y2 = bbox[..., :2], bbox[..., 2:]
+    d = jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1)
+    return jnp.clip(d, 0, reg_max - 0.01)
+
+
+def dist2rbox(pred_dist: jnp.ndarray, pred_angle: jnp.ndarray, anchor_points: jnp.ndarray) -> jnp.ndarray:
+    """Rotated decode (reference tal.py:366-386): rotate the ltrb offset by
+    the predicted angle before shifting the anchor. Returns xywh + caller
+    appends the angle."""
+    lt, rb = pred_dist[..., :2], pred_dist[..., 2:]
+    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    xf, yf = ((rb - lt) / 2)[..., 0:1], ((rb - lt) / 2)[..., 1:2]
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=-1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Format conversions (reference utils/ops.py:412-607)
+# ---------------------------------------------------------------------------
+
+def xywh2xyxy(x: jnp.ndarray) -> jnp.ndarray:
+    xy, wh = x[..., :2], x[..., 2:4]
+    return jnp.concatenate([xy - wh / 2, xy + wh / 2, x[..., 4:]], axis=-1)
+
+
+def xyxy2xywh(x: jnp.ndarray) -> jnp.ndarray:
+    x1y1, x2y2 = x[..., :2], x[..., 2:4]
+    return jnp.concatenate([(x1y1 + x2y2) / 2, x2y2 - x1y1, x[..., 4:]], axis=-1)
+
+
+def xywhr2xyxyxyxy(x: jnp.ndarray) -> jnp.ndarray:
+    """xywhr -> 4 corner points ``[..., 4, 2]`` (reference ops.py:572)."""
+    ctr, w, h, angle = x[..., :2], x[..., 2:3], x[..., 3:4], x[..., 4:5]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    vec1 = jnp.concatenate([w / 2 * cos, w / 2 * sin], axis=-1)
+    vec2 = jnp.concatenate([-h / 2 * sin, h / 2 * cos], axis=-1)
+    pt1 = ctr + vec1 + vec2
+    pt2 = ctr + vec1 - vec2
+    pt3 = ctr - vec1 - vec2
+    pt4 = ctr - vec1 + vec2
+    return jnp.stack([pt1, pt2, pt3, pt4], axis=-2)
+
+
+def regularize_rboxes(rboxes: jnp.ndarray) -> jnp.ndarray:
+    """Canonicalize xywhr so w >= h and angle in [0, pi/2) (reference ops.py:791)."""
+    x, y, w, h, t = (rboxes[..., i] for i in range(5))
+    swap = w < h
+    w_ = jnp.where(swap, h, w)
+    h_ = jnp.where(swap, w, h)
+    t_ = jnp.where(swap, t + math.pi / 2, t) % math.pi
+    return jnp.stack([x, y, w_, h_, t_], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# IoU family (reference utils/metrics.py:80-277)
+# ---------------------------------------------------------------------------
+
+def bbox_iou(box1: jnp.ndarray, box2: jnp.ndarray, xywh: bool = True, ciou: bool = False, eps: float = 1e-7) -> jnp.ndarray:
+    """Pairwise (broadcasting) IoU / CIoU on the last axis, matching
+    reference metrics.py:80-135 including its asymmetric +eps on widths."""
+    if xywh:
+        b1 = xywh2xyxy(box1[..., :4])
+        b2 = xywh2xyxy(box2[..., :4])
+        w1, h1 = box1[..., 2], box1[..., 3]
+        w2, h2 = box2[..., 2], box2[..., 3]
+    else:
+        b1, b2 = box1, box2
+        w1, h1 = b1[..., 2] - b1[..., 0], b1[..., 3] - b1[..., 1] + eps
+        w2, h2 = b2[..., 2] - b2[..., 0], b2[..., 3] - b2[..., 1] + eps
+    inter_w = jnp.clip(jnp.minimum(b1[..., 2], b2[..., 2]) - jnp.maximum(b1[..., 0], b2[..., 0]), 0)
+    inter_h = jnp.clip(jnp.minimum(b1[..., 3], b2[..., 3]) - jnp.maximum(b1[..., 1], b2[..., 1]), 0)
+    inter = inter_w * inter_h
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / union
+    if not ciou:
+        return iou
+    cw = jnp.maximum(b1[..., 2], b2[..., 2]) - jnp.minimum(b1[..., 0], b2[..., 0])
+    ch = jnp.maximum(b1[..., 3], b2[..., 3]) - jnp.minimum(b1[..., 1], b2[..., 1])
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((b2[..., 0] + b2[..., 2] - b1[..., 0] - b1[..., 2]) ** 2
+            + (b2[..., 1] + b2[..., 3] - b1[..., 1] - b1[..., 3]) ** 2) / 4
+    v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    return iou - (rho2 / c2 + v * alpha)
+
+
+def _covariance(boxes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gaussian form of an xywhr box (reference metrics.py:178-196)."""
+    a = boxes[..., 2] ** 2 / 12
+    b = boxes[..., 3] ** 2 / 12
+    c = boxes[..., 4]
+    cos, sin = jnp.cos(c), jnp.sin(c)
+    cos2, sin2 = cos**2, sin**2
+    return a * cos2 + b * sin2, a * sin2 + b * cos2, (a - b) * cos * sin
+
+
+def probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Probabilistic IoU between broadcast-aligned xywhr boxes
+    (reference metrics.py:198-249, arXiv:2106.06072)."""
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _covariance(obb1)
+    a2, b2, c2 = _covariance(obb2)
+    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / den * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / den * 0.5
+    det1 = jnp.clip(a1 * b1 - c1**2, 0)
+    det2 = jnp.clip(a2 * b2 - c2**2, 0)
+    t3 = jnp.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+                 / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - hd
+
+
+def batch_probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """All-pairs probiou: ``[N, 5] x [M, 5] -> [N, M]`` (metrics.py:252-277)."""
+    return probiou(obb1[..., :, None, :], obb2[..., None, :, :], eps=eps)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape NMS (reference utils/ops.py:146-333)
+# ---------------------------------------------------------------------------
+
+def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.45) -> jnp.ndarray:
+    """One-shot rotated fast-NMS (reference ops.py:146-179).
+
+    Sorts by score, computes the all-pairs probiou matrix, and keeps boxes
+    not suppressed by any higher-scoring box. Returns a keep mask aligned
+    with the *input* order (fixed shape — no dynamic gather needed).
+    """
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    ious = batch_probiou(b, b)
+    n = boxes.shape[0]
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    suppressed = ((ious >= iou_threshold) & upper).any(axis=0)
+    keep_sorted = ~suppressed
+    keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_axis_aligned(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.45) -> jnp.ndarray:
+    """Fixed-shape greedy-equivalent fast-NMS for xyxy boxes.
+
+    Same one-shot suppression shape as `nms_rotated` but with standard IoU —
+    a deliberate, jit-friendly simplification of torchvision.ops.nms
+    (sequential greedy); with one-shot suppression a box suppressed by an
+    already-suppressed box is still removed, which can only reduce recall
+    marginally at matched thresholds.
+    """
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    ious = bbox_iou(b[:, None, :], b[None, :, :], xywh=False)
+    n = boxes.shape[0]
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    suppressed = ((ious >= iou_threshold) & upper).any(axis=0)
+    keep = jnp.zeros(n, dtype=bool).at[order].set(~suppressed)
+    return keep
+
+
+def non_max_suppression(
+    pred: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    nc: int = 80,
+    rotated: bool = False,
+    max_nms: int = 30000,
+    max_wh: float = 7680.0,
+    agnostic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape batched NMS (reference ops.py:181-333, best-class-only path).
+
+    Args:
+      pred: ``[B, A, 4 + nc (+1 angle)]`` decoded predictions — boxes in
+        xywh (axis-aligned) or xywhr (rotated) pixel units, then class scores.
+    Returns:
+      detections ``[B, max_det, 6 (+1)]`` = (xyxy or xywhr, conf, cls) with
+      zero rows past the valid count, and valid ``[B, max_det]`` bool mask.
+    """
+    B, A, _ = pred.shape
+    n_keep = min(max_nms, A, 2048)  # candidate pool per image
+
+    def per_image(p):
+        boxes = p[:, :4]
+        cls = p[:, 4 : 4 + nc]
+        conf = cls.max(axis=-1)
+        cls_id = cls.argmax(axis=-1)
+        valid = conf > conf_thres
+        score = jnp.where(valid, conf, 0.0)
+        # candidate pool: top n_keep by score
+        score_top, idx = jax.lax.top_k(score, n_keep)
+        boxes_t = boxes[idx]
+        cls_t = cls_id[idx]
+        valid_t = score_top > conf_thres
+        offset = jnp.where(agnostic, 0.0, cls_t.astype(jnp.float32) * max_wh)
+        if rotated:
+            angle = p[idx][:, -1:]
+            nms_boxes = jnp.concatenate([boxes_t[:, :2] + offset[:, None], boxes_t[:, 2:4], angle], axis=-1)
+            keep = nms_rotated(nms_boxes, score_top, iou_thres)
+            out_boxes = jnp.concatenate([boxes_t[:, :4], angle], axis=-1)
+        else:
+            xyxy = xywh2xyxy(boxes_t)
+            keep = nms_axis_aligned(xyxy + offset[:, None], score_top, iou_thres)
+            out_boxes = xyxy
+        keep = keep & valid_t
+        final_score = jnp.where(keep, score_top, 0.0)
+        k = min(max_det, n_keep)
+        sc, order = jax.lax.top_k(final_score, k)
+        det = jnp.concatenate(
+            [out_boxes[order], sc[:, None], cls_t[order].astype(jnp.float32)[:, None]], axis=-1
+        )
+        ok = sc > conf_thres
+        det = jnp.where(ok[:, None], det, 0.0)
+        if k < max_det:  # pad to the fixed max_det rows
+            det = jnp.pad(det, ((0, max_det - k), (0, 0)))
+            ok = jnp.pad(ok, (0, max_det - k))
+        return det, ok
+
+    return jax.vmap(per_image)(pred)

@@ -1,0 +1,210 @@
+"""Separable quaternion convolution as MXU-friendly XLA primitives.
+
+Semantics (ground truth = reference CUDA kernel
+ultralytics/nn/cuda/quaternion_ops.cu:42-181 `qconv_forward_kernel_hamilton`):
+
+    s_d  = conv2d(x_d, w_d)            # 4 independent per-component convs
+    y    = M @ s  (+ bias_r on every component)
+
+where ``M`` is the Zhou-separable mixing matrix (see ops/mixing.py). The real
+bias is added to ``s_r`` *before* mixing (quaternion_ops.cu:87); since
+``M[:, 0] == 1`` this equals adding ``bias_r`` to all four mixed outputs,
+which is how we implement it (one fused add).
+
+TPU realisation: instead of 4 separate convs (reference) or a CUDA
+direct-conv kernel, we flatten the component axis into channels
+(component-major) and issue ONE `lax.conv_general_dilated` with
+``feature_group_count = 4 * groups``, so XLA tiles all four component convs
+onto the MXU in a single op, then apply the constant 4x4 mixing as fused
+elementwise adds. Accumulation is fp32 (`preferred_element_type`), matching
+the CUDA kernel's fp32 accumulators (quaternion_ops.cu:71).
+
+Gradients: the reference backward kernels (quaternion_ops.cu:184-470) apply
+``M.T`` to the cotangent then standard conv-transpose / correlation — which
+is exactly the mathematical VJP of the forward above, so plain JAX autodiff
+reproduces them. The only reference deviation is the bias gradient: the CUDA
+kernel sums only the real cotangent (quaternion_ops.cu:491-501), which is
+inconsistent with its own forward (where bias reaches all four outputs). We
+use the exact gradient; all detection-path convs are bias-free
+(Conv wraps QConv2D with bias=False, conv.py:796) so this only affects the
+classification stack's stem/blocks, where it is a strict correctness fix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quan_ultralytics_tpu.ops.mixing import mix_components
+
+IntOr2 = Union[int, Tuple[int, int], Sequence[int]]
+
+
+def _pair(v: IntOr2) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    a, b = v
+    return (int(a), int(b))
+
+
+def autopad(k: IntOr2, p: Optional[IntOr2] = None, d: IntOr2 = 1) -> Tuple[int, int]:
+    """'same'-style padding rule, matching reference conv.py:62-68."""
+    kh, kw = _pair(k)
+    dh, dw = _pair(d)
+    if dh > 1:
+        kh = dh * (kh - 1) + 1
+    if dw > 1:
+        kw = dw * (kw - 1) + 1
+    if p is None:
+        return (kh // 2, kw // 2)
+    return _pair(p)
+
+
+def qconv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    dilation: IntOr2 = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Separable quaternion conv on BHWQC tensors.
+
+    Args:
+      x: input ``[B, H, W, 4, C_in]`` (per-component channels).
+      w: weights ``[4, kH, kW, C_in // groups, C_out]`` — component axis
+        leading, per-component HWIO. (Reference shape per component:
+        ``[C_out, C_in/g, kH, kW]``, conv.py:134-142.)
+      bias: optional real bias ``[C_out]`` (reference ``bias_r``).
+      groups: grouped conv *within* each component (reference DWConv uses
+        ``gcd(c1//4, c2//4)``, conv.py:918-923).
+
+    Returns:
+      ``[B, H_out, W_out, 4, C_out]`` in ``x.dtype``.
+    """
+    assert x.ndim == 5 and x.shape[3] == 4, f"expected BHWQC input, got {x.shape}"
+    assert w.ndim == 5 and w.shape[0] == 4, f"expected [4,kH,kW,Cin/g,Cout] weights, got {w.shape}"
+    B, H, W, _, cin = x.shape
+    _, kh, kw, cin_pg, cout = w.shape
+    assert cin_pg * groups == cin, f"cin {cin} != groups {groups} * {cin_pg}"
+
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+
+    # Flatten component axis into channels (component-major: [d, ci]).
+    x_flat = x.reshape(B, H, W, 4 * cin)
+    # Kernel HWIO with O ordered [d, j, co] to match XLA's grouped-conv
+    # contract (output o consumes input block o // (O / fgc)).
+    kernel = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(kh, kw, cin_pg, 4 * cout)
+
+    # dtype policy: output dtype == input dtype. For bf16 inputs the TPU MXU
+    # accumulates fp32 internally (matching the CUDA kernel's fp32
+    # accumulators, quaternion_ops.cu:71); requesting an f32 output via
+    # preferred_element_type would break conv autodiff under mixed dtypes.
+    # HIGHEST precision stops XLA from splitting f32 operands into bf16
+    # passes — the fast path feeds bf16 activations explicitly.
+    s = lax.conv_general_dilated(
+        x_flat,
+        kernel.astype(x_flat.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=4 * groups,
+        precision=lax.Precision.HIGHEST,
+    )
+    Ho, Wo = s.shape[1], s.shape[2]
+    s = s.reshape(B, Ho, Wo, 4, cout)
+    y = mix_components(s, axis=-2)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)  # broadcasts over all 4 components (M[:,0] == 1)
+    return y.astype(x.dtype)
+
+
+def fold_dense_kernel(w: jnp.ndarray, mix: jnp.ndarray) -> jnp.ndarray:
+    """Fold the mixing matrix into a dense HWIO kernel (inference option).
+
+    ``K[(d,ci) -> (q,co)] = M[q,d] * w[d,ci,co]`` turns qconv into a single
+    ungrouped conv with 4x the essential FLOPs but perfect MXU occupancy —
+    profitable for narrow layers where grouped convs underutilise the 128-lane
+    MXU. Only valid for groups == 1.
+    """
+    _, kh, kw, cin, cout = w.shape
+    k = jnp.einsum("qd,dhwio->hwdiqo", mix.astype(w.dtype), w, precision=lax.Precision.HIGHEST)
+    return k.reshape(kh, kw, 4 * cin, 4 * cout)
+
+
+def qconv2d_folded(
+    x: jnp.ndarray,
+    dense_kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    dilation: IntOr2 = 1,
+) -> jnp.ndarray:
+    """qconv via a pre-folded dense kernel (see `fold_dense_kernel`)."""
+    B, H, W, _, cin = x.shape
+    kh, kw, cin4, cout4 = dense_kernel.shape
+    assert cin4 == 4 * cin
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    y = lax.conv_general_dilated(
+        x.reshape(B, H, W, 4 * cin),
+        dense_kernel.astype(x.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+    y = y.astype(x.dtype).reshape(B, y.shape[1], y.shape[2], 4, cout4 // 4)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def qdense(x: jnp.ndarray, w: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Quaternion dense layer with the FULL Hamilton product.
+
+    Reference: classification/quaternion/qconv.py:878-998 (QDense). Four
+    shared real linears (w_r, w_i, w_j, w_k) are applied to every input
+    component and the 16 products combine with Hamilton signs:
+
+        out_r = r_r - i_i - j_j - k_k
+        out_i = r_i + i_r + j_k - k_j
+        out_j = r_j - i_k + j_r + k_i
+        out_k = r_k + i_j - j_i + k_r
+
+    where ``a_b = linear_b(x_a)``.
+
+    Args:
+      x: ``[..., 4, F_in]``.
+      w: ``[4, F_in, F_out]`` (component order r, i, j, k).
+      bias: optional ``[4, F_out]`` — the reference's four per-linear biases
+        ``b_d``, added to every ``a_d = linear_d(x_a)`` and therefore combined
+        through the same Hamilton signs as the products (e.g. the real output
+        picks up ``b_r - b_i - b_j - b_k``).
+
+    Returns: ``[..., 4, F_out]``.
+    """
+    # p[a, d] = linear_d(x_a): [..., 4(a), 4(d), F_out]
+    p = jnp.einsum("...af,dfo->...ado", x, w.astype(x.dtype), precision=lax.Precision.HIGHEST)
+    if bias is not None:
+        p = p + bias.astype(p.dtype)  # [d, F_out] broadcasts over the 'a' axis
+    r_r, r_i, r_j, r_k = p[..., 0, 0, :], p[..., 0, 1, :], p[..., 0, 2, :], p[..., 0, 3, :]
+    i_r, i_i, i_j, i_k = p[..., 1, 0, :], p[..., 1, 1, :], p[..., 1, 2, :], p[..., 1, 3, :]
+    j_r, j_i, j_j, j_k = p[..., 2, 0, :], p[..., 2, 1, :], p[..., 2, 2, :], p[..., 2, 3, :]
+    k_r, k_i, k_j, k_k = p[..., 3, 0, :], p[..., 3, 1, :], p[..., 3, 2, :], p[..., 3, 3, :]
+    out_r = r_r - i_i - j_j - k_k
+    out_i = r_i + i_r + j_k - k_j
+    out_j = r_j - i_k + j_r + k_i
+    out_k = r_k + i_j - j_i + k_r
+    return jnp.stack([out_r, out_i, out_j, out_k], axis=-2)

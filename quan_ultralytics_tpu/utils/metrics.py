@@ -1,0 +1,161 @@
+"""Detection metrics: AP / mAP for axis-aligned and oriented boxes.
+
+Host-side NumPy re-implementation of the reference metric pipeline
+(ultralytics/utils/metrics.py: ap_per_class :537, DetMetrics :798,
+OBBMetrics :1226). Matching logic follows the reference: per-image IoU
+matching at 10 thresholds (0.5:0.95), greedy de-duplication by IoU order,
+101-point interpolated AP. Rotated IoU uses probiou like the reference's
+OBBValidator (models/yolo/obb/val.py:40).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _probiou_np(obb1: np.ndarray, obb2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """All-pairs probiou [N,5] x [M,5] -> [N,M] (numpy mirror of
+    ops/boxes.py batch_probiou)."""
+    def cov(b):
+        a = b[:, 2] ** 2 / 12
+        bb = b[:, 3] ** 2 / 12
+        c = b[:, 4]
+        cos, sin = np.cos(c), np.sin(c)
+        return a * cos**2 + bb * sin**2, a * sin**2 + bb * cos**2, (a - bb) * cos * sin
+
+    x1, y1 = obb1[:, 0:1], obb1[:, 1:2]
+    x2, y2 = obb2[None, :, 0], obb2[None, :, 1]
+    a1, b1, c1 = (v[:, None] for v in cov(obb1))
+    a2, b2, c2 = (v[None, :] for v in cov(obb2))
+    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / den * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / den * 0.5
+    det1 = np.clip(a1 * b1 - c1**2, 0, None)
+    det2 = np.clip(a2 * b2 - c2**2, 0, None)
+    t3 = np.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2) / (4 * np.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = np.clip(t1 + t2 + t3, eps, 100.0)
+    return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
+def _box_iou_np(b1: np.ndarray, b2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """All-pairs IoU for xyxy boxes [N,4] x [M,4] -> [N,M]."""
+    a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
+    a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+    lt = np.maximum(b1[:, None, :2], b2[None, :, :2])
+    rb = np.minimum(b1[:, None, 2:], b2[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (a1[:, None] + a2[None, :] - inter + eps)
+
+
+IOUV = np.linspace(0.5, 0.95, 10)
+
+
+def match_predictions(pred_cls: np.ndarray, gt_cls: np.ndarray, iou: np.ndarray) -> np.ndarray:
+    """Reference BaseValidator.match_predictions: for each IoU threshold,
+    greedily match predictions to gts of the same class.
+
+    Args: iou [n_gt, n_pred]. Returns bool [n_pred, 10]."""
+    correct = np.zeros((pred_cls.shape[0], IOUV.size), dtype=bool)
+    cc = gt_cls[:, None] == pred_cls[None, :]
+    iou = iou * cc  # zero out cross-class
+    for i, t in enumerate(IOUV):
+        matches = np.nonzero(iou >= t)
+        matches = np.array(matches).T  # [k, 2] (gt, pred)
+        if matches.shape[0]:
+            order = iou[matches[:, 0], matches[:, 1]].argsort()[::-1]
+            matches = matches[order]
+            matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+            matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+            correct[matches[:, 1], i] = True
+    return correct
+
+
+def compute_ap(recall: np.ndarray, precision: np.ndarray):
+    """101-point interpolated AP (reference metrics.py compute_ap)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    return np.trapezoid(np.interp(x, mrec, mpre), x)
+
+
+def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, target_cls: np.ndarray,
+                 nc: int, eps: float = 1e-16) -> Dict[str, np.ndarray]:
+    """Reference metrics.py:537 — AP per class over the 10 IoU thresholds."""
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    classes, counts = np.unique(target_cls.astype(int), return_counts=True)
+    ap = np.zeros((nc, tp.shape[1]))
+    p = np.zeros(nc)
+    r = np.zeros(nc)
+    for ci, c in enumerate(classes):
+        mask = pred_cls == c
+        n_gt = counts[ci]
+        n_p = mask.sum()
+        if n_p == 0 or n_gt == 0:
+            continue
+        fpc = (1 - tp[mask]).cumsum(0)
+        tpc = tp[mask].cumsum(0)
+        recall = tpc / (n_gt + eps)
+        precision = tpc / (tpc + fpc)
+        for j in range(tp.shape[1]):
+            ap[c, j] = compute_ap(recall[:, j], precision[:, j])
+        # P/R at max-F1 confidence of the 0.5 threshold curve
+        f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
+        k = int(f1.argmax()) if len(f1) else 0
+        p[c], r[c] = precision[k, 0], recall[k, 0]
+    return {"ap": ap, "precision": p, "recall": r, "classes": classes}
+
+
+@dataclass
+class DetMetrics:
+    """Accumulates per-image matches and produces mAP (reference :798/:1226;
+    set rotated=True for the OBB variant)."""
+
+    nc: int
+    rotated: bool = False
+    _tp: List[np.ndarray] = field(default_factory=list)
+    _conf: List[np.ndarray] = field(default_factory=list)
+    _pred_cls: List[np.ndarray] = field(default_factory=list)
+    _target_cls: List[np.ndarray] = field(default_factory=list)
+
+    def update(self, pred_boxes: np.ndarray, pred_conf: np.ndarray, pred_cls: np.ndarray,
+               gt_boxes: np.ndarray, gt_cls: np.ndarray):
+        """pred_boxes: [n,4] xyxy or [n,5] xywhr; gt_boxes likewise."""
+        n = pred_boxes.shape[0]
+        if gt_boxes.shape[0] == 0:
+            if n:
+                self._tp.append(np.zeros((n, IOUV.size), bool))
+                self._conf.append(pred_conf)
+                self._pred_cls.append(pred_cls)
+            self._target_cls.append(gt_cls)
+            return
+        if n == 0:
+            self._target_cls.append(gt_cls)
+            return
+        iou = _probiou_np(gt_boxes, pred_boxes) if self.rotated else _box_iou_np(gt_boxes, pred_boxes)
+        self._tp.append(match_predictions(pred_cls, gt_cls, iou))
+        self._conf.append(pred_conf)
+        self._pred_cls.append(pred_cls)
+        self._target_cls.append(gt_cls)
+
+    def compute(self) -> Dict[str, float]:
+        if not self._tp:
+            return {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0}
+        tp = np.concatenate(self._tp)
+        conf = np.concatenate(self._conf)
+        pred_cls = np.concatenate(self._pred_cls)
+        target_cls = np.concatenate(self._target_cls) if self._target_cls else np.zeros(0)
+        res = ap_per_class(tp, conf, pred_cls, target_cls, self.nc)
+        seen = np.unique(target_cls.astype(int))
+        ap = res["ap"][seen] if len(seen) else res["ap"][:0]
+        return {
+            "mAP50": float(ap[:, 0].mean()) if ap.size else 0.0,
+            "mAP50-95": float(ap.mean()) if ap.size else 0.0,
+            "precision": float(res["precision"][seen].mean()) if len(seen) else 0.0,
+            "recall": float(res["recall"][seen].mean()) if len(seen) else 0.0,
+        }

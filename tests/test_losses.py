@@ -1,0 +1,171 @@
+"""Assigner + loss tests: behavioral checks and gradient sanity."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quan_ultralytics_tpu.losses.tal import task_aligned_assigner
+from quan_ultralytics_tpu.losses.detect import (
+    LossHyp,
+    _angle_to_quaternion,
+    detection_loss,
+    obb_loss,
+    quaternion_angular_loss,
+)
+from quan_ultralytics_tpu.ops.boxes import make_anchors
+
+
+def test_quaternion_angular_loss_geodesic():
+    """2*arccos(|<q1,q2>|) == |dtheta| for z-rotations, incl. double cover."""
+    for d in [0.0, 0.3, 1.0, math.pi / 2]:
+        q1 = _angle_to_quaternion(jnp.array([[0.0]]))
+        q2 = _angle_to_quaternion(jnp.array([[d]]))
+        got = float(quaternion_angular_loss(q1, q2)[0])
+        assert abs(got - d) < 2e-3, (d, got)
+    # double cover: theta and theta + 2*pi are the same rotation
+    q1 = _angle_to_quaternion(jnp.array([[0.1]]))
+    q2 = _angle_to_quaternion(jnp.array([[0.1 + 2 * math.pi]]))
+    assert float(quaternion_angular_loss(q1, q2)[0]) < 2e-3
+
+
+def _toy_assigner_inputs(rotated=False):
+    A_shapes = [(8, 8)]
+    anchors, stride_t = make_anchors(A_shapes, [8], 0.5)
+    anc_pix = anchors * stride_t
+    A = anchors.shape[0]
+    nc, M, B = 3, 4, 1
+    # one gt box centered at (32, 32) of size 24x24 pixels
+    if rotated:
+        gt = np.zeros((B, M, 5), np.float32)
+        gt[0, 0] = [32, 32, 24, 24, 0.3]
+    else:
+        gt = np.zeros((B, M, 4), np.float32)
+        gt[0, 0] = [20, 20, 44, 44]  # xyxy
+    labels = np.zeros((B, M), np.int32)
+    labels[0, 0] = 2
+    mask = np.zeros((B, M), bool)
+    mask[0, 0] = True
+    # predictions: boxes exactly on gt near its center anchors
+    pd_scores = np.full((B, A, nc), 0.3, np.float32)
+    if rotated:
+        pd_boxes = np.tile(gt[0, 0], (B, A, 1)).astype(np.float32)
+    else:
+        pd_boxes = np.tile(gt[0, 0], (B, A, 1)).astype(np.float32)
+    return pd_scores, pd_boxes, anc_pix, labels, gt, mask, nc
+
+
+def test_assigner_axis_aligned_basic():
+    pd_scores, pd_boxes, anc, labels, gt, mask, nc = _toy_assigner_inputs()
+    res = task_aligned_assigner(
+        jnp.asarray(pd_scores), jnp.asarray(pd_boxes), anc,
+        jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask),
+        num_classes=nc,
+    )
+    fg = np.asarray(res.fg_mask)[0]
+    assert fg.sum() > 0, "no anchors assigned"
+    # assigned anchors must lie inside the gt box
+    pts = np.asarray(anc)
+    inside = (pts[:, 0] > 20) & (pts[:, 0] < 44) & (pts[:, 1] > 20) & (pts[:, 1] < 44)
+    assert (fg <= inside).all(), "assigned anchor outside gt"
+    labs = np.asarray(res.target_labels)[0]
+    assert (labs[fg] == 2).all()
+    ts = np.asarray(res.target_scores)[0]
+    assert ts[fg, 2].max() > 0.5  # normalized by best alignment -> ~iou
+    assert ts[~fg].sum() == 0
+
+
+def test_assigner_rotated_basic():
+    pd_scores, pd_boxes, anc, labels, gt, mask, nc = _toy_assigner_inputs(rotated=True)
+    res = task_aligned_assigner(
+        jnp.asarray(pd_scores), jnp.asarray(pd_boxes), anc,
+        jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask),
+        num_classes=nc, rotated=True,
+    )
+    fg = np.asarray(res.fg_mask)[0]
+    assert fg.sum() > 0
+    assert (np.asarray(res.target_labels)[0][fg] == 2).all()
+
+
+def test_assigner_empty_gt():
+    pd_scores, pd_boxes, anc, labels, gt, mask, nc = _toy_assigner_inputs()
+    mask[:] = False
+    res = task_aligned_assigner(
+        jnp.asarray(pd_scores), jnp.asarray(pd_boxes), anc,
+        jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask),
+        num_classes=nc,
+    )
+    assert np.asarray(res.fg_mask).sum() == 0
+    assert np.asarray(res.target_scores).sum() == 0
+
+
+def _fake_feats(B=2, nc=15, reg_max=16, sizes=((8, 8), (4, 4), (2, 2)), rng=None):
+    rng = rng or np.random.default_rng(0)
+    return [
+        jnp.asarray(rng.normal(size=(B, h, w, 4 * reg_max + nc)).astype(np.float32))
+        for h, w in sizes
+    ]
+
+
+def _fake_batch_obb(B=2, M=8):
+    rng = np.random.default_rng(1)
+    boxes = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
+    cls = np.zeros((B, M), np.int32)
+    for b in range(B):
+        n = 3
+        boxes[b, :n, :2] = rng.uniform(0.3, 0.7, (n, 2))
+        boxes[b, :n, 2:4] = rng.uniform(0.2, 0.4, (n, 2))
+        boxes[b, :n, 4] = rng.uniform(-0.5, 1.5, n)
+        cls[b, :n] = rng.integers(0, 15, n)
+        mask[b, :n] = True
+    return {"bboxes": jnp.asarray(boxes), "cls": jnp.asarray(cls), "mask": jnp.asarray(mask)}
+
+
+def test_detection_loss_finite_and_differentiable():
+    feats = _fake_feats()
+    batch = _fake_batch_obb()
+    batch = {**batch, "bboxes": batch["bboxes"][..., :4]}
+
+    def f(feats):
+        total, aux = detection_loss(feats, batch, (8, 16, 32), nc=15)
+        return total
+
+    total = f(feats)
+    assert np.isfinite(float(total))
+    grads = jax.grad(lambda fs: f(fs))(feats)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_obb_loss_finite_and_differentiable():
+    nc, reg_max = 15, 16
+    feats = _fake_feats(nc=nc)
+    rng = np.random.default_rng(3)
+    angles = [jnp.asarray(rng.uniform(-0.7, 2.3, (2, h, w, 1)).astype(np.float32))
+              for h, w in ((8, 8), (4, 4), (2, 2))]
+    batch = _fake_batch_obb()
+
+    def f(feats, angles):
+        total, aux = obb_loss((feats, angles), batch, (8, 16, 32), nc=nc)
+        return total
+
+    total = f(feats, angles)
+    assert np.isfinite(float(total))
+    gf, ga = jax.grad(f, argnums=(0, 1))(feats, angles)
+    for g in list(gf) + list(ga):
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_obb_loss_empty_gt_finite():
+    nc = 15
+    feats = _fake_feats(nc=nc)
+    angles = [jnp.zeros((2, h, w, 1)) for h, w in ((8, 8), (4, 4), (2, 2))]
+    batch = _fake_batch_obb()
+    batch = {**batch, "mask": jnp.zeros_like(batch["mask"])}
+    total, aux = obb_loss((feats, angles), batch, (8, 16, 32), nc=nc)
+    assert np.isfinite(float(total))
+    g = jax.grad(lambda fs: obb_loss((fs, angles), batch, (8, 16, 32), nc=nc)[0])(feats)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()

@@ -1,0 +1,55 @@
+"""Pallas fused qconv kernel vs the reference jnp path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quan_ultralytics_tpu.ops.qconv import qconv2d
+from quan_ultralytics_tpu.ops.pallas.qconv_fused import fold_iqbn
+
+
+def _fused_interpret(x, w, scale, shift, apply_silu=True):
+    """Run the kernel in interpreter mode (no TPU needed)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from quan_ultralytics_tpu.ops.pallas import qconv_fused as qf
+
+    B, H, W, Q, Ci = x.shape
+    Co = w.shape[-1]
+    P = B * H * W
+    block_p, block_o = 64, Co
+    P_pad = -(-P // block_p) * block_p
+    xf = jnp.pad(x.reshape(P, Q, Ci), ((0, P_pad - P), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(qf._kernel, apply_affine=True, apply_silu=apply_silu),
+        out_shape=jax.ShapeDtypeStruct((P_pad, 4, Co), x.dtype),
+        grid=(P_pad // block_p, 1),
+        in_specs=[
+            pl.BlockSpec((block_p, 4, Ci), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((4, Ci, Co), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((4, Co), lambda i, j: (0, 0)),
+            pl.BlockSpec((4, Co), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_p, 4, Co), lambda i, j: (i, 0, 0)),
+        interpret=True,
+    )(xf, w.reshape(4, Ci, Co).astype(x.dtype), scale, shift)
+    return out[:P].reshape(B, H, W, 4, Co)
+
+
+def test_fused_qconv1x1_matches_reference_path():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(4, 1, 1, 8, 12)) * 0.3).astype(np.float32))
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, (4, 12)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(4, 12)).astype(np.float32) * 0.1)
+    mean = jnp.asarray(rng.normal(size=(4, 12)).astype(np.float32) * 0.1)
+    var = jnp.asarray(rng.uniform(0.5, 1.5, (4, 12)).astype(np.float32))
+
+    scale, shift = fold_iqbn(gamma, beta, mean, var)
+    got = _fused_interpret(x, w, scale, shift)
+
+    ref = qconv2d(x, w)  # conv + mixing
+    ref = ref * scale + shift
+    ref = ref * jax.nn.sigmoid(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
