@@ -43,15 +43,16 @@ def main():
                                    max_det=300, nc=model.nc, rotated=True)
 
     img = jnp.asarray(np.random.rand(batch, imgsz, imgsz, 3).astype(np.float32))
-    # warmup + compile
+    # warmup + compile; materialize to host — on the axon tunnel,
+    # block_until_ready alone does not synchronize with real execution.
     det, ok = infer(variables, img)
-    jax.block_until_ready(det)
+    float(np.asarray(det).sum())
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         det, ok = infer(variables, img)
-    jax.block_until_ready(det)
+        float(np.asarray(det[0, 0]).sum())  # per-iter host sync (tiny copy)
     dt = time.perf_counter() - t0
     img_per_s = batch * iters / dt
 

@@ -52,6 +52,7 @@ class YOLO:
 
     def train(self, data: Union[str, Dict], epochs: int = 100, batch: int = 16,
               imgsz: int = 640, max_labels: int = 128, save_dir: str = "runs/train",
+              close_mosaic: int = 10, resume: Optional[str] = None,
               log=print, **overrides) -> Dict[str, float]:
         """Train on a YOLO-format dataset yaml (reference Model.train :742)."""
         ds = YOLODataset(data, split="train", task=self.task)
@@ -63,39 +64,45 @@ class YOLO:
         steps_per_epoch = max(len(ds) // batch, 1)
         trainer = Trainer(self.model, cfg, steps_per_epoch)
         state = trainer.init_state()
-        step_fn = trainer.make_train_step()
-        hyp = AugmentHyp()
-        out_dir = Path(save_dir)
-        out_dir.mkdir(parents=True, exist_ok=True)
-        best_fitness = -1.0
-        history = []
+        start_epoch = 0
+        if resume:
+            state, start_epoch = trainer.restore_checkpoint(resume)
+            log(f"resumed from {resume} at epoch {start_epoch}")
         try:
             val_ds = YOLODataset(data, split="val", task=self.task)
         except Exception:
             val_ds = ds
         validator = Validator(self.model, imgsz=imgsz)
-        for epoch in range(epochs):
-            losses = []
-            for bi, b in enumerate(build_dataloader(ds, batch, imgsz, hyp=hyp,
-                                                    max_labels=max_labels, seed=epoch)):
-                b = {k: jnp.asarray(v) for k, v in b.items()}
-                state, loss, aux = step_fn(state, b)
-                losses.append(float(loss))
-            metrics = validator(state.variables(ema=True), val_ds, batch_size=batch)
-            fitness = metrics["mAP50-95"] * 0.9 + metrics["mAP50"] * 0.1  # reference fitness
-            row = {"epoch": epoch, "loss": float(np.mean(losses)), **metrics}
-            history.append(row)
-            log(f"epoch {epoch}: loss {row['loss']:.3f} mAP50 {metrics['mAP50']:.4f} "
-                f"mAP50-95 {metrics['mAP50-95']:.4f}")
-            self._save_ckpt(out_dir / "last.pkl", state)
-            if fitness > best_fitness:
-                best_fitness = fitness
-                self._save_ckpt(out_dir / "best.pkl", state)
-            (out_dir / "results.json").write_text(json.dumps(history, indent=2))
-        # load best like reference Model.train (:812-815)
-        best = pickle.loads((out_dir / "best.pkl").read_bytes())
-        self.variables = {"params": best["params"], "batch_stats": best["batch_stats"]}
-        return history[-1] if history else {}
+        hyp = AugmentHyp()
+
+        def train_loader(epoch):
+            return build_dataloader(ds, batch, imgsz, hyp=hyp if hyp.mosaic else None,
+                                    max_labels=max_labels, seed=epoch,
+                                    augment=hyp.mosaic > 0 or epoch < epochs)
+
+        def close_mosaic_hook(epoch):
+            hyp.mosaic = 0.0  # reference close_mosaic (trainer.py:354)
+
+        def validate(state):
+            return validator(state.variables(ema=True), val_ds, batch_size=batch)
+
+        out_dir = Path(save_dir)
+        state = trainer.fit(
+            state, train_loader, validate_fn=validate, epochs=epochs,
+            start_epoch=start_epoch, save_dir=save_dir,
+            close_mosaic_hook=close_mosaic_hook, close_mosaic=close_mosaic, log=log,
+        )
+        # keep facade-format checkpoints too, and load best like reference
+        # Model.train (:812-815)
+        self._save_ckpt(out_dir / "last.pkl", state)
+        best_ck = out_dir / "best.ckpt"
+        if best_ck.exists():
+            st, _ = trainer.restore_checkpoint(best_ck)
+            self._save_ckpt(out_dir / "best.pkl", st)
+            self.variables = {"params": st.ema_params, "batch_stats": st.batch_stats}
+        else:
+            self.variables = {"params": state.ema_params, "batch_stats": state.batch_stats}
+        return trainer.history[-1] if trainer.history else {}
 
     def _save_ckpt(self, path: Path, state):
         payload = {

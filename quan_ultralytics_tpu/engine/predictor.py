@@ -79,11 +79,18 @@ class Predictor:
         elif isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
 
+        from quan_ultralytics_tpu.data.native import letterbox_native
+
         batch, meta = [], []
         for im in images:
             h0, w0 = im.shape[:2]
-            lb, r, (dw, dh) = letterbox(im, self.imgsz)
-            batch.append(lb.astype(np.float32) / 255.0)
+            native = letterbox_native(im, self.imgsz)
+            if native is not None:  # fused C++ letterbox+normalize hot path
+                lbf, r, (dw, dh) = native
+                batch.append(lbf)
+            else:
+                lb, r, (dw, dh) = letterbox(im, self.imgsz)
+                batch.append(lb.astype(np.float32) / 255.0)
             meta.append((h0, w0, r, dw, dh))
         x = jnp.asarray(np.stack(batch))
         det, ok = self._infer(variables, x)

@@ -96,8 +96,9 @@ def _param_label(path: Tuple, leaf) -> str:
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """lr(step): warmup then linear (or cosine) decay to lr0*lrf
     (reference trainer 'one_cycle'/linear `lf`, trainer.py:810 + :366-376)."""
-    warmup_steps = max(int(cfg.warmup_epochs * steps_per_epoch), 100)
-    total_steps = cfg.epochs * steps_per_epoch
+    # Reference floors warmup at 100 iterations (trainer.py:366); an explicit
+    # warmup_epochs=0 disables it entirely (tiny-run/overfit use).
+    warmup_steps = 0 if cfg.warmup_epochs == 0 else max(int(cfg.warmup_epochs * steps_per_epoch), 100)
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
@@ -107,8 +108,9 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable[[jnp.ndarray
         else:
             decay = (1 - frac_epoch / cfg.epochs) * (1.0 - cfg.lrf) + cfg.lrf
         lr = cfg.lr0 * decay
-        w = jnp.clip(step / warmup_steps, 0.0, 1.0)
-        return w * lr
+        if warmup_steps:
+            lr = lr * jnp.clip(step / warmup_steps, 0.0, 1.0)
+        return lr
 
     return fn
 
@@ -210,20 +212,92 @@ class Trainer:
 
         return train_step
 
-    def fit(self, state: TrainState, data_iter: Iterable, epochs: Optional[int] = None,
-            log_every: int = 50, callbacks=None) -> TrainState:
-        """Simple epoch loop; data_iter yields (epoch-sized) batch streams."""
+    def fit(
+        self,
+        state: TrainState,
+        train_loader_fn,  # epoch:int -> iterable of batches
+        validate_fn=None,  # state -> metrics dict (run on EMA weights)
+        epochs: Optional[int] = None,
+        start_epoch: int = 0,
+        save_dir: Optional[str] = None,
+        close_mosaic_hook=None,  # epoch:int -> None; called at epochs-close_mosaic
+        close_mosaic: int = 10,
+        log=print,
+        callbacks=None,
+    ) -> TrainState:
+        """Full epoch loop: train -> EMA validate -> save last/best -> early
+        stop (reference BaseTrainer._do_train trainer.py:319-477, fitness =
+        0.9*mAP50-95 + 0.1*mAP50, EarlyStopping torch_utils.py:713)."""
+        import json
+        from pathlib import Path
+
         step_fn = self._train_step or self.make_train_step()
         self._train_step = step_fn
         epochs = epochs or self.cfg.epochs
+        best_fitness, best_epoch = -1.0, -1
         history = []
-        for epoch in range(epochs):
+        out = Path(save_dir) if save_dir else None
+        if out:
+            out.mkdir(parents=True, exist_ok=True)
+        for epoch in range(start_epoch, epochs):
+            if close_mosaic_hook and epoch == max(epochs - close_mosaic, 0):
+                close_mosaic_hook(epoch)  # reference close_mosaic (trainer.py:354)
             t0 = time.time()
             losses = []
-            for batch in data_iter:
+            for batch in train_loader_fn(epoch):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 batch = shard_batch(self.mesh, batch)
                 state, loss, aux = step_fn(state, batch)
                 losses.append(float(loss))
-            history.append(float(np.mean(losses)) if losses else float("nan"))
+            row = {"epoch": epoch, "loss": float(np.mean(losses)) if losses else float("nan"),
+                   "time_s": round(time.time() - t0, 2)}
+            fitness = row["loss"] * -1.0  # fallback when no validator
+            if validate_fn is not None:
+                metrics = validate_fn(state)
+                row.update(metrics)
+                fitness = metrics.get("mAP50-95", 0.0) * 0.9 + metrics.get("mAP50", 0.0) * 0.1
+            row["fitness"] = fitness
+            history.append(row)
+            if callbacks is not None:
+                callbacks.run("on_fit_epoch_end", row)
+            log(f"epoch {epoch}: " + " ".join(f"{k}={v:.4g}" for k, v in row.items() if k != "epoch"))
+            if out:
+                self.save_checkpoint(out / "last.ckpt", state, epoch)
+                if fitness > best_fitness:
+                    best_fitness, best_epoch = fitness, epoch
+                    self.save_checkpoint(out / "best.ckpt", state, epoch)
+                (out / "results.json").write_text(json.dumps(history, indent=2))
+            if epoch - best_epoch > self.cfg.patience:
+                log(f"early stopping: no fitness improvement in {self.cfg.patience} epochs")
+                break
         self.history = history
         return state
+
+    def save_checkpoint(self, path, state: TrainState, epoch: int) -> None:
+        import pickle
+        from pathlib import Path
+
+        payload = {
+            "epoch": epoch,
+            "step": int(state.step),
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "ema_params": jax.device_get(state.ema_params),
+            "opt_state": jax.device_get(state.opt_state),
+        }
+        Path(path).write_bytes(pickle.dumps(payload))
+
+    def restore_checkpoint(self, path) -> Tuple[TrainState, int]:
+        """Resume (reference check_resume/resume_training trainer.py:692-750)."""
+        import pickle
+        from pathlib import Path
+
+        payload = pickle.loads(Path(path).read_bytes())
+        state = TrainState(
+            step=jnp.asarray(payload["step"], jnp.int32),
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            ema_params=payload["ema_params"],
+        )
+        return state, payload["epoch"] + 1

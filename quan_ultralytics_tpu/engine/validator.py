@@ -44,9 +44,13 @@ class Validator:
         self._infer = infer
 
     def __call__(self, variables, ds: YOLODataset, batch_size: int = 8,
-                 max_labels: int = 256) -> Dict[str, float]:
+                 max_labels: int = 256, save_json: Optional[str] = None) -> Dict[str, float]:
+        """Run validation; optionally dump COCO-format detections json
+        (reference detect/val.py pred_to_json / save_json)."""
         rotated = self.model.task == "obb"
         metrics = DetMetrics(nc=self.model.nc, rotated=rotated)
+        json_dets = [] if save_json else None
+        image_idx = 0
         for batch in build_dataloader(ds, batch_size, self.imgsz, hyp=None,
                                       max_labels=max_labels, augment=False,
                                       shuffle=False, drop_last=False):
@@ -69,4 +73,27 @@ class Validator:
                     gt_boxes = np.asarray(xywh2xyxy(jnp.asarray(gb)))
                 gt_cls = batch["cls"][b][gmask].astype(np.float32)
                 metrics.update(pred_boxes, conf, cls.astype(np.float32), gt_boxes, gt_cls)
+                if json_dets is not None:
+                    for bi in range(len(pred_boxes)):
+                        if rotated:
+                            x, y, w, h, r = pred_boxes[bi][:5]
+                            box = [float(x - w / 2), float(y - h / 2), float(w), float(h)]
+                            extra = {"angle": float(r)}
+                        else:
+                            x1, y1, x2, y2 = pred_boxes[bi][:4]
+                            box = [float(x1), float(y1), float(x2 - x1), float(y2 - y1)]
+                            extra = {}
+                        json_dets.append({
+                            "image_id": image_idx + b,
+                            "category_id": int(cls[bi]),
+                            "bbox": [round(v, 3) for v in box],
+                            "score": round(float(conf[bi]), 5),
+                            **extra,
+                        })
+            image_idx += det.shape[0]
+        if json_dets is not None:
+            import json as _json
+            from pathlib import Path
+
+            Path(save_json).write_text(_json.dumps(json_dets))
         return metrics.compute()

@@ -224,6 +224,52 @@ class QC2PSA(nn.Module):
         return Conv(2 * c, self.c2, 1, dtype=self.dtype, name="cv2")(qconcat([a, b]), train)
 
 
+class C2f(nn.Module):
+    """Classic C2f (reference block.py:337-360) — C3k2's parent topology with
+    (3,3)-(3,3) e=1.0 bottlenecks; provided for YAML compatibility."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        cpc = c // 4
+        ys = [y[..., :cpc], y[..., cpc:]]
+        for i in range(self.n):
+            ys.append(Bottleneck(c, c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                                 dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        return Conv((2 + self.n) * c, self.c2, 1, dtype=self.dtype, name="cv2")(qconcat(ys), train)
+
+
+class QPSA(nn.Module):
+    """Standalone PSA block (reference block.py:1410-1483): reduce, split,
+    attention+FFN on one branch, concat, expand."""
+
+    c1: int
+    c2: int
+    e: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = (int(self.c1 * self.e) // 4) * 4
+        y = Conv(self.c1, 2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        cpc = c // 4
+        a, b = y[..., :cpc], y[..., cpc:]
+        a = QAttention(c, num_heads=max(c // 16, 1), attn_ratio=1.0,
+                       dtype=self.dtype, name="attn")(a)
+        f = Conv(c, c * 2, 1, dtype=self.dtype, name="ffn0")(a, train)
+        a = Conv(c * 2, c, 1, act=False, dtype=self.dtype, name="ffn1")(f, train)
+        return Conv(2 * c, self.c2, 1, dtype=self.dtype, name="cv2")(qconcat([a, b]), train)
+
+
 def dfl(x: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """Distribution Focal Loss integral (reference block.py:64-83).
 

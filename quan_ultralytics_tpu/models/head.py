@@ -95,6 +95,54 @@ class Detect(nn.Module):
         return outs
 
 
+class QERPreserve(nn.Module):
+    """Quaternion extraction with xavier-initialized learnable mixing
+    (reference head.py:50-83). Same computation as QER, different init."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, Q, C = x.shape
+        assert Q * C == self.c1
+        y = nn.Conv(
+            self.c2, kernel_size=(self.k, self.k), use_bias=True,
+            kernel_init=nn.initializers.xavier_normal(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="mix",
+        )(x.reshape(B, H, W, Q * C))
+        return y
+
+
+class HybridDetect(nn.Module):
+    """Detect variant with a lighter cls path (reference head.py:287-320):
+    quaternion backbone features, earlier QER extraction, narrower channels."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    strides: Tuple[int, ...] = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
+        c2 = max(self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(xs):
+            b = Conv(self.ch[i], c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            b = Conv(c2, c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+            b = QER(c2, 4 * self.reg_max, 1, bias_init_value=1.0, dtype=self.dtype, name=f"cv2_{i}_2")(b)
+            c = Conv(self.ch[i], c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls_bias = math.log(5 / self.nc / (640 / self.strides[i]) ** 2)
+            c = QER(c3, self.nc, 1, bias_init_value=cls_bias, dtype=self.dtype, name=f"cv3_{i}_1")(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+
 class OBB(nn.Module):
     """Oriented-box head (reference head.py:322-354): Detect + an angle
     branch cv4 = Conv,Conv,QER -> ne theta logits, mapped to

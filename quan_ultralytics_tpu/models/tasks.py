@@ -50,10 +50,11 @@ class LayerSpec:
 
 
 # Modules that take (c1, c2, ...) and get width scaling on args[0].
-_CONV_LIKE = {"Conv", "DWConv", "Bottleneck", "QSPPF", "C3", "C3k", "C3k2", "QC3k2", "QC2PSA", "Classify"}
+_CONV_LIKE = {"Conv", "DWConv", "Bottleneck", "QSPPF", "C2f", "C3", "C3k",
+              "C3k2", "QC3k2", "QC2PSA", "QPSA", "Classify"}
 # CSP-style modules that absorb the repeat count as arg index 2.
-_ABSORB_N = {"C3", "C3k", "C3k2", "QC3k2", "QC2PSA"}
-_HEADS = {"Detect", "OBB"}
+_ABSORB_N = {"C2f", "C3", "C3k", "C3k2", "QC3k2", "QC2PSA"}
+_HEADS = {"Detect", "OBB", "HybridDetect"}
 
 
 def resolve_model_cfg(model: str) -> Tuple[Dict, str]:
@@ -160,12 +161,16 @@ class QUANYOLO(nn.Module):
                 y = C.Conv(*a, mapping_type=self.mapping_type, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
-            elif m == "C3k2":
+            elif m in ("C3k2", "QC3k2"):
                 y = B.C3k2(*a, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "C2f":
+                y = B.C2f(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QSPPF":
                 y = B.QSPPF(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QC2PSA":
                 y = B.QC2PSA(*a, dtype=self.dtype, name=name)(inputs[0], train)
+            elif m == "QPSA":
+                y = B.QPSA(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QUpsample":
                 y = C.QUpsample(int(a[0]), str(a[1]) if len(a) > 1 else "nearest", name=name)(inputs[0])
             elif m == "Concat":
@@ -173,6 +178,10 @@ class QUANYOLO(nn.Module):
             elif m == "Detect":
                 nc, ch, strides = a
                 y = H.Detect(nc, ch, strides, dtype=self.dtype, name=name)(inputs, train)
+                out = y
+            elif m == "HybridDetect":
+                nc, ch, strides = a
+                y = H.HybridDetect(nc, ch, strides, dtype=self.dtype, name=name)(inputs, train)
                 out = y
             elif m == "OBB":
                 nc, ne, ch, strides = a

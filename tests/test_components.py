@@ -1,0 +1,150 @@
+"""Tests for aux components: config, tuner, DOTA tooling, metrics, plotting."""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_get_cfg_defaults_and_overrides():
+    from quan_ultralytics_tpu.cfg import get_cfg
+
+    cfg = get_cfg()
+    assert cfg.lr0 == 0.01 and cfg.box == 7.5 and cfg.epochs == 100
+    cfg = get_cfg({"epochs": "50", "mosaic": 0.5})
+    assert cfg.epochs == 50 and cfg.mosaic == 0.5
+    with pytest.raises(KeyError):
+        get_cfg({"not_a_key": 1})
+    with pytest.raises(ValueError):
+        get_cfg({"mosaic": 1.5})
+
+
+def test_tuner_improves_fitness(tmp_path):
+    from quan_ultralytics_tpu.engine.tuner import Tuner
+
+    # toy objective: best at lr0=0.02, box=5
+    def train_fn(hyp):
+        return -((math.log10(hyp["lr0"]) + 1.7) ** 2) - ((hyp["box"] - 5) / 5) ** 2
+
+    t = Tuner(train_fn, {"lr0": 0.001, "box": 7.5}, save_dir=str(tmp_path))
+    best = t(iterations=25)
+    assert t.history[0]["fitness"] <= max(h["fitness"] for h in t.history)
+    assert (tmp_path / "best_hyperparameters.json").exists()
+
+
+def test_dota_windows():
+    from quan_ultralytics_tpu.data.split_dota import get_windows, window_label_iof
+
+    w = get_windows((2000, 3000), (1024,), (200,))
+    assert len(w) > 0
+    assert ((w[:, 2] - w[:, 0]) == 1024).all()
+    # windows tile the image
+    assert w[:, 0].min() == 0 and w[:, 2].max() >= 3000 - 1024
+    corners = np.array([[100, 100, 200, 100, 200, 200, 100, 200]], np.float32)
+    iof = window_label_iof(corners, w)
+    assert iof.shape == (1, len(w))
+    assert iof.max() == 1.0  # the box fully inside at least one window
+
+
+def test_dota_submission_merge(tmp_path):
+    from quan_ultralytics_tpu.engine.dota_eval import DOTASubmission
+
+    sub = DOTASubmission(["plane", "ship"])
+    # same physical box predicted in two overlapping patches
+    sub.add_patch("P0001__0_0", np.array([[900.0, 900.0, 50, 30, 0.2]]),
+                  np.array([0.9]), np.array([0.0]))
+    sub.add_patch("P0001__824_824", np.array([[76.0, 76.0, 50, 30, 0.2]]),
+                  np.array([0.8]), np.array([0.0]))
+    merged = sub.merge(iou_thr=0.3)
+    assert len(merged["P0001"]) == 1  # cross-patch NMS removed the dup
+    files = sub.write(str(tmp_path))
+    assert (tmp_path / "Task1_plane.txt").read_text().startswith("P0001 0.9")
+
+
+def test_metrics_perfect_predictions():
+    from quan_ultralytics_tpu.utils.metrics import DetMetrics
+
+    m = DetMetrics(nc=2, rotated=True)
+    gt = np.array([[50, 50, 20, 10, 0.3], [100, 100, 30, 15, 1.0]], np.float32)
+    m.update(gt.copy(), np.array([0.9, 0.8]), np.array([0.0, 1.0]),
+             gt, np.array([0.0, 1.0]))
+    res = m.compute()
+    assert res["mAP50"] > 0.99 and res["mAP50-95"] > 0.99
+
+
+def test_metrics_no_overlap():
+    from quan_ultralytics_tpu.utils.metrics import DetMetrics
+
+    m = DetMetrics(nc=1)
+    m.update(np.array([[0, 0, 10, 10]], np.float32), np.array([0.9]), np.array([0.0]),
+             np.array([[50, 50, 60, 60]], np.float32), np.array([0.0]))
+    assert m.compute()["mAP50"] == 0.0
+
+
+def test_plotting(tmp_path):
+    from quan_ultralytics_tpu.utils.plotting import Annotator, plot_curves
+
+    im = np.zeros((64, 64, 3), np.uint8)
+    ann = Annotator(im, ["a"])
+    ann.box_label([10, 10, 40, 40], "a 0.9", 0)
+    ann.obb_label([32, 32, 20, 10, 0.5], "a 0.5", 1)
+    assert ann.result().sum() > 0
+    p = plot_curves([{"epoch": 0, "loss": 1.0}, {"epoch": 1, "loss": 0.5}],
+                    str(tmp_path / "r.png"))
+    if p:
+        assert Path(p).exists()
+
+
+def test_converter_coco(tmp_path):
+    from quan_ultralytics_tpu.data.converter import convert_coco_to_yolo
+
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 100, "height": 200}],
+        "categories": [{"id": 7}],
+        "annotations": [{"image_id": 1, "category_id": 7, "bbox": [10, 20, 30, 40], "iscrowd": 0}],
+    }
+    j = tmp_path / "ann.json"
+    j.write_text(json.dumps(coco))
+    n = convert_coco_to_yolo(str(j), str(tmp_path / "labels"))
+    assert n == 1
+    line = (tmp_path / "labels" / "a.txt").read_text().split()
+    assert line[0] == "0"
+    np.testing.assert_allclose([float(v) for v in line[1:]], [0.25, 0.2, 0.3, 0.2], atol=1e-5)
+
+
+def test_autobatch():
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+    from quan_ultralytics_tpu.utils.autobatch import auto_batch
+
+    model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15)
+    b = auto_batch(model, imgsz=1024)
+    assert 1 <= b <= 1024 and (b & (b - 1)) == 0  # power of two
+
+
+def test_quaternion_chi_init_statistics():
+    import jax
+    from quan_ultralytics_tpu.ops.qinit import quaternion_chi_init
+
+    w = quaternion_chi_init("he")(jax.random.PRNGKey(0), (4, 3, 3, 16, 32))
+    w = np.asarray(w)
+    assert w.shape == (4, 3, 3, 16, 32)
+    mags = np.sqrt((w ** 2).sum(axis=0))
+    # chi(4) scaled by 1/sqrt(2 fan_in): E[mag^2] = 4 sigma^2 = 2/fan_in
+    fan_in = 3 * 3 * 16
+    np.testing.assert_allclose((mags ** 2).mean(), 2.0 / fan_in, rtol=0.05)
+
+
+def test_activations():
+    import jax.numpy as jnp
+    from quan_ultralytics_tpu.ops.activations import qrerelu, qsilu
+
+    x = jnp.asarray(np.random.randn(2, 3, 3, 4, 8).astype(np.float32))
+    assert qsilu(x).shape == x.shape
+    y = qrerelu(x)
+    # phase preserved: y parallel to x per quaternion
+    xn = np.asarray(x)
+    yn = np.asarray(y)
+    cross = np.abs(xn * yn[..., ::-1, :]).sum()  # crude sanity
+    assert yn.shape == xn.shape
