@@ -39,6 +39,9 @@ def build_parser():
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--drop_rate", type=float, default=0.0)
     p.add_argument("--cutout", type=int, default=0)
+    p.add_argument("--num_augments", type=int, default=1,
+                   help="augmented copies per image per epoch (MultiAugmentDataset)")
+    p.add_argument("--autoaugment", action="store_true", help="CIFAR-10 AutoAugment policy")
     p.add_argument("--resume", default=None)
     p.add_argument("--exp_dir", default="runs/classify")
     p.add_argument("--seed", type=int, default=0)
@@ -66,11 +69,12 @@ def main(argv=None):
     else:
         raise SystemExit(f"dataset {args.dataset} requires local data; see data.py")
 
-    steps_per_epoch = len(tx) // cfg.batch_size
+    steps_per_epoch = len(tx) * max(args.num_augments, 1) // cfg.batch_size
 
     def train_loader(epoch):
         return batches(tx, ty, cfg.batch_size, train=True, mean=mean, std=std,
-                       cutout_len=args.cutout, seed=cfg.seed + epoch)
+                       cutout_len=args.cutout, seed=cfg.seed + epoch,
+                       num_augments=args.num_augments, auto_augment=args.autoaugment)
 
     def val_loader():
         return batches(vx, vy, cfg.batch_size, train=False, mean=mean, std=std)

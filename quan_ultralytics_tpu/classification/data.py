@@ -85,11 +85,82 @@ def cutout(im: np.ndarray, length: int, rng: np.random.Generator) -> np.ndarray:
     return im
 
 
+# ---------------------------------------------------------------------------
+# AutoAugment (CIFAR10 policy subset) + MultiAugment
+# Reference: classification/utils/augmentations.py (AutoAugment policies) and
+# data_loading.py:37-157 (MultiAugmentDataset: N augmented copies per image).
+# ---------------------------------------------------------------------------
+
+def _pil_ops():
+    from PIL import Image, ImageEnhance, ImageOps
+
+    def shear_x(im, v):
+        return im.transform(im.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
+
+    def translate_x(im, v):
+        return im.transform(im.size, Image.AFFINE, (1, 0, v * im.size[0], 0, 1, 0))
+
+    def translate_y(im, v):
+        return im.transform(im.size, Image.AFFINE, (1, 0, 0, 0, 1, v * im.size[1]))
+
+    return {
+        "ShearX": (shear_x, -0.3, 0.3),
+        "TranslateX": (translate_x, -0.3, 0.3),
+        "TranslateY": (translate_y, -0.3, 0.3),
+        "Rotate": (lambda im, v: im.rotate(v), -30, 30),
+        "AutoContrast": (lambda im, v: ImageOps.autocontrast(im), 0, 1),
+        "Invert": (lambda im, v: ImageOps.invert(im), 0, 1),
+        "Equalize": (lambda im, v: ImageOps.equalize(im), 0, 1),
+        "Solarize": (lambda im, v: ImageOps.solarize(im, int(v)), 0, 256),
+        "Posterize": (lambda im, v: ImageOps.posterize(im, max(1, int(v))), 4, 8),
+        "Contrast": (lambda im, v: ImageEnhance.Contrast(im).enhance(v), 0.1, 1.9),
+        "Color": (lambda im, v: ImageEnhance.Color(im).enhance(v), 0.1, 1.9),
+        "Brightness": (lambda im, v: ImageEnhance.Brightness(im).enhance(v), 0.1, 1.9),
+        "Sharpness": (lambda im, v: ImageEnhance.Sharpness(im).enhance(v), 0.1, 1.9),
+    }
+
+
+# (op, probability, magnitude 0-9) pairs from the CIFAR-10 AutoAugment policy
+CIFAR10_POLICY = [
+    [("Invert", 0.1, 7), ("Contrast", 0.2, 6)],
+    [("Rotate", 0.7, 2), ("TranslateX", 0.3, 9)],
+    [("Sharpness", 0.8, 1), ("Sharpness", 0.9, 3)],
+    [("ShearX", 0.5, 8), ("TranslateY", 0.7, 9)],
+    [("AutoContrast", 0.5, 8), ("Equalize", 0.9, 2)],
+    [("Color", 0.4, 3), ("Brightness", 0.6, 7)],
+    [("Equalize", 0.6, 5), ("Equalize", 0.5, 1)],
+    [("Contrast", 0.6, 7), ("Sharpness", 0.6, 5)],
+    [("Brightness", 0.9, 6), ("Color", 0.2, 8)],
+    [("Solarize", 0.5, 2), ("Invert", 0.0, 3)],
+]
+
+
+def autoaugment(im: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Apply one randomly chosen CIFAR-10 AutoAugment sub-policy."""
+    from PIL import Image
+
+    ops = _pil_ops()
+    pil = Image.fromarray(im)
+    for name, p, mag in CIFAR10_POLICY[rng.integers(len(CIFAR10_POLICY))]:
+        if rng.random() < p:
+            fn, lo, hi = ops[name]
+            v = lo + (hi - lo) * mag / 9.0
+            pil = fn(pil, v)
+    return np.asarray(pil)
+
+
 def batches(x: np.ndarray, y: np.ndarray, batch_size: int, *, train: bool,
             mean: np.ndarray = CIFAR10_MEAN, std: np.ndarray = CIFAR10_STD,
-            cutout_len: int = 0, seed: int = 0, drop_last: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
-    """Normalized, optionally augmented fixed-shape batches."""
+            cutout_len: int = 0, seed: int = 0, drop_last: Optional[bool] = None,
+            num_augments: int = 1, auto_augment: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+    """Normalized, optionally augmented fixed-shape batches.
+
+    num_augments > 1 replicates each train image with independent augs
+    (reference MultiAugmentDataset, data_loading.py:37-157)."""
     rng = np.random.default_rng(seed)
+    if train and num_augments > 1:
+        x = np.repeat(x, num_augments, axis=0)
+        y = np.repeat(y, num_augments, axis=0)
     n = len(x)
     order = rng.permutation(n) if train else np.arange(n)
     drop_last = train if drop_last is None else drop_last
@@ -103,6 +174,8 @@ def batches(x: np.ndarray, y: np.ndarray, batch_size: int, *, train: bool,
             out = np.empty_like(ims)
             size = ims.shape[1]
             for i, im in enumerate(ims):
+                if auto_augment:
+                    im = autoaugment(im.astype(np.uint8), rng).astype(np.float32)
                 # pad-4 random crop + hflip (reference transforms)
                 p = np.pad(im, ((4, 4), (4, 4), (0, 0)), mode="reflect")
                 dy, dx = rng.integers(0, 9, 2)
@@ -115,3 +188,13 @@ def batches(x: np.ndarray, y: np.ndarray, batch_size: int, *, train: bool,
             ims = out
         ims = (ims / 255.0 - mean) / std
         yield {"img": ims.astype(np.float32), "label": y[idx].astype(np.int32)}
+
+
+def mixup_batch(batch: Dict[str, np.ndarray], alpha: float, rng: np.random.Generator):
+    """Classification mixup (reference classification/utils/training.py:104-123):
+    blend the batch with a shuffled copy; returns (batch', label_b, lam) for
+    the loss `lam*CE(y_a) + (1-lam)*CE(y_b)`."""
+    lam = rng.beta(alpha, alpha) if alpha > 0 else 1.0
+    perm = rng.permutation(len(batch["img"]))
+    mixed = lam * batch["img"] + (1 - lam) * batch["img"][perm]
+    return {"img": mixed.astype(np.float32), "label": batch["label"]}, batch["label"][perm], float(lam)

@@ -128,4 +128,27 @@ class YOLO:
                               max_det=max_det, names=self.names)
         return predictor(self._ensure_variables(), source)
 
+    def track(self, frames, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,
+              tracker: str = "bytetrack", persist: bool = False):
+        """mode=track (reference Model.track): per-frame detect + associate.
+
+        frames: iterable of RGB arrays (a video's frames). Returns per-frame
+        [n, 7] arrays (xyxy, track_id, score, cls). Only axis-aligned
+        detection tasks are trackable (like the reference).
+        """
+        from quan_ultralytics_tpu.trackers import BOTSORT, BYTETracker
+
+        if self.task != "detect":
+            raise ValueError("track mode requires a detect-task model")
+        if not persist or not hasattr(self, "_tracker"):
+            self._tracker = BOTSORT() if tracker == "botsort" else BYTETracker()
+        predictor = Predictor(self.model, imgsz=imgsz, conf=conf, iou=iou, names=self.names)
+        variables = self._ensure_variables()
+        outputs = []
+        for frame in frames:
+            res = predictor(variables, frame)[0]
+            kwargs = {"frame": frame} if isinstance(self._tracker, BOTSORT) else {}
+            outputs.append(self._tracker.update(res.boxes[:, :4], res.conf, res.cls, **kwargs))
+        return outputs
+
     __call__ = predict

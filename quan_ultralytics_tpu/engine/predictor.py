@@ -72,10 +72,9 @@ class Predictor:
 
     def __call__(self, variables, images: Union[np.ndarray, Sequence[np.ndarray], str, Path]) -> List[Results]:
         if isinstance(images, (str, Path)):
-            import cv2
+            from quan_ultralytics_tpu.data.loaders import load_source
 
-            im = cv2.cvtColor(cv2.imread(str(images)), cv2.COLOR_BGR2RGB)
-            images = [im]
+            images = list(load_source(images))
         elif isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
 
