@@ -78,7 +78,8 @@ class YOLO:
         def train_loader(epoch):
             return build_dataloader(ds, batch, imgsz, hyp=hyp if hyp.mosaic else None,
                                     max_labels=max_labels, seed=epoch,
-                                    augment=hyp.mosaic > 0 or epoch < epochs)
+                                    augment=hyp.mosaic > 0 or epoch < epochs,
+                                    multi_scale=cfg.multi_scale)
 
         def close_mosaic_hook(epoch):
             hyp.mosaic = 0.0  # reference close_mosaic (trainer.py:354)

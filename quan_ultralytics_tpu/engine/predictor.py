@@ -63,6 +63,9 @@ class Predictor:
 
         @jax.jit
         def infer(variables, img):
+            # u8 input: normalize on device (4x less host->device traffic)
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
             out = model.module.apply(variables, img, train=False)
             pred = model.decode(out)
             return non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,

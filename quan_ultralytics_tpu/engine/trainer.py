@@ -67,6 +67,8 @@ class TrainConfig:
     seed: int = 0
     save_dir: str = "runs/train"
     patience: int = 100
+    multi_scale: bool = False
+    guard_nan: bool = True  # skip optimizer update on non-finite loss/grads
 
 
 class TrainState(struct.PyTreeNode):
@@ -116,22 +118,45 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable[[jnp.ndarray
 
 
 def build_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.GradientTransformation:
+    """3-group SGD with warmup fidelity (reference trainer.py:366-376 +
+    build_optimizer :759+): momentum ramps warmup_momentum -> momentum, the
+    bias group's LR ramps from warmup_bias_lr DOWN to the schedule, weight
+    decay only on conv weights, scaled by batch*accumulate/nbs."""
     schedule = lr_schedule(cfg, steps_per_epoch)
-    # decay scaled like reference autoscaling: wd * batch * accumulate / nbs
     accumulate = max(round(cfg.nbs / cfg.batch), 1)
     wd = cfg.weight_decay * cfg.batch * accumulate / cfg.nbs
+    warmup_steps = 0 if cfg.warmup_epochs == 0 else max(int(cfg.warmup_epochs * steps_per_epoch), 100)
+
+    def momentum_schedule(step):
+        if warmup_steps == 0:
+            return cfg.momentum
+        w = jnp.clip(jnp.asarray(step, jnp.float32) / warmup_steps, 0.0, 1.0)
+        return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * w
+
+    def bias_lr_schedule(step):
+        # interpolate warmup_bias_lr -> schedule over warmup, then follow it
+        base = schedule(step)
+        if warmup_steps == 0:
+            return base
+        w = jnp.clip(jnp.asarray(step, jnp.float32) / warmup_steps, 0.0, 1.0)
+        # lr_schedule already multiplies by w; reconstruct the un-warmed lr
+        full = jnp.where(w > 0, base / jnp.maximum(w, 1e-9), base)
+        return jnp.where(w < 1.0, cfg.warmup_bias_lr + (full - cfg.warmup_bias_lr) * w, base)
 
     labels = jax.tree_util.tree_map_with_path(_param_label, params)
 
-    def sgd(decay):
+    def sgd(decay, lr):
         return optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.add_decayed_weights(decay) if decay else optax.identity(),
-            optax.sgd(learning_rate=schedule, momentum=cfg.momentum, nesterov=True),
+            optax.inject_hyperparams(
+                lambda learning_rate, momentum: optax.sgd(learning_rate, momentum, nesterov=True)
+            )(learning_rate=lr, momentum=momentum_schedule),
         )
 
     tx = optax.multi_transform(
-        {"weight": sgd(wd), "norm": sgd(0.0), "bias": sgd(0.0)}, labels
+        {"weight": sgd(wd, schedule), "norm": sgd(0.0, schedule), "bias": sgd(0.0, bias_lr_schedule)},
+        labels,
     )
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
@@ -194,11 +219,22 @@ class Trainer:
     def make_train_step(self):
         tx = self.tx
 
+        guard_nan = self.cfg.guard_nan
+
         @jax.jit
         def train_step(state: TrainState, batch):
             (loss, (aux, new_stats)), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 state.params, state.batch_stats, batch
             )
+            if guard_nan:
+                # NaN guard (the reference's commented nan_to_num hook,
+                # trainer.py:248, done right): a non-finite loss or grad
+                # skips the whole update instead of poisoning the weights.
+                finite = jnp.isfinite(loss)
+                for g in jax.tree_util.tree_leaves(grads):
+                    finite &= jnp.isfinite(g).all()
+                grads = jax.tree_util.tree_map(lambda g: jnp.where(finite, g, 0.0), grads)
+                aux = {**aux, "nan_skipped": (~finite).astype(jnp.float32)}
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             step = state.step + 1
