@@ -12,6 +12,12 @@ target.
 
 Measures the full device pipeline: quaternion graph forward (bf16) + DFL
 decode + rotated fast-NMS.
+
+Timing methodology: this environment reaches the chip through a relay with
+~30ms dispatch latency, and block_until_ready does not synchronize with
+remote execution — so the benchmark runs ITERS forwards inside ONE jitted
+fori_loop (carry-dependent input defeats loop-invariant hoisting) and
+fetches a scalar, then divides.
 """
 
 import json
@@ -32,29 +38,26 @@ def main():
 
     imgsz = 1024
     batch = 16
+    iters = 10
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+    img = jnp.asarray(np.random.rand(batch, imgsz, imgsz, 3).astype(np.float32))
 
     @jax.jit
-    def infer(variables, img):
-        out = model.module.apply(variables, img, train=False)
-        pred = model.decode(out)
-        return non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
-                                   max_det=300, nc=model.nc, rotated=True)
+    def run(variables, img):
+        def body(i, acc):
+            out = model.module.apply(variables, img + acc * 1e-12, train=False)
+            pred = model.decode(out)
+            det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                          max_det=300, nc=model.nc, rotated=True)
+            return det[0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    img = jnp.asarray(np.random.rand(batch, imgsz, imgsz, 3).astype(np.float32))
-    # warmup + compile; materialize to host — on the axon tunnel,
-    # block_until_ready alone does not synchronize with real execution.
-    det, ok = infer(variables, img)
-    float(np.asarray(det).sum())
-
-    iters = 10
+    float(run(variables, img))  # compile + warmup (real execution)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        det, ok = infer(variables, img)
-        float(np.asarray(det[0, 0]).sum())  # per-iter host sync (tiny copy)
-    dt = time.perf_counter() - t0
-    img_per_s = batch * iters / dt
+    float(run(variables, img))  # host-synced by the scalar fetch
+    dt = (time.perf_counter() - t0) / iters
+    img_per_s = batch / dt
 
     print(json.dumps({
         "metric": "quan_yolo11n_obb_infer_imgs_per_sec_at_1024",

@@ -18,7 +18,8 @@ import numpy as np
 
 from quan_ultralytics_tpu.classification.data import (
     CIFAR10_MEAN, CIFAR10_STD, CIFAR100_MEAN, CIFAR100_STD,
-    batches, load_cifar, make_synthetic,
+    batches, imagenet_batches, imagenet_folder_samples, load_cifar,
+    load_svhn, make_synthetic,
 )
 from quan_ultralytics_tpu.classification.models import MODEL_FACTORIES
 from quan_ultralytics_tpu.classification.train import ClsConfig, ClsState, ExperimentManager, fit
@@ -62,22 +63,39 @@ def main(argv=None):
         tx, ty, vx, vy = load_cifar(args.data_dir, args.dataset)
         mean, std = (CIFAR10_MEAN, CIFAR10_STD) if args.dataset == "cifar10" else (CIFAR100_MEAN, CIFAR100_STD)
         size = 32
+    elif args.dataset == "svhn":
+        tx, ty, vx, vy = load_svhn(args.data_dir)
+        mean, std = CIFAR10_MEAN, CIFAR10_STD
+        size = 32
     elif args.dataset == "synthetic":
         tx, ty, vx, vy = make_synthetic(nc)
         mean, std = CIFAR10_MEAN, CIFAR10_STD
         size = 32
+    elif args.dataset == "imagenet":
+        tr_files, tr_labels, _ = imagenet_folder_samples(args.data_dir, "train")
+        va_files, va_labels, _ = imagenet_folder_samples(args.data_dir, "val")
+        size = 224
+        steps_per_epoch = len(tr_files) // cfg.batch_size
+
+        def train_loader(epoch):
+            return imagenet_batches(tr_files, tr_labels, cfg.batch_size, train=True,
+                                    size=size, seed=cfg.seed + epoch)
+
+        def val_loader():
+            return imagenet_batches(va_files, va_labels, cfg.batch_size, train=False, size=size)
     else:
         raise SystemExit(f"dataset {args.dataset} requires local data; see data.py")
 
-    steps_per_epoch = len(tx) * max(args.num_augments, 1) // cfg.batch_size
+    if args.dataset != "imagenet":
+        steps_per_epoch = len(tx) * max(args.num_augments, 1) // cfg.batch_size
 
-    def train_loader(epoch):
-        return batches(tx, ty, cfg.batch_size, train=True, mean=mean, std=std,
-                       cutout_len=args.cutout, seed=cfg.seed + epoch,
-                       num_augments=args.num_augments, auto_augment=args.autoaugment)
+        def train_loader(epoch):
+            return batches(tx, ty, cfg.batch_size, train=True, mean=mean, std=std,
+                           cutout_len=args.cutout, seed=cfg.seed + epoch,
+                           num_augments=args.num_augments, auto_augment=args.autoaugment)
 
-    def val_loader():
-        return batches(vx, vy, cfg.batch_size, train=False, mean=mean, std=std)
+        def val_loader():
+            return batches(vx, vy, cfg.batch_size, train=False, mean=mean, std=std)
 
     start_state, start_epoch = None, 0
     if args.resume:

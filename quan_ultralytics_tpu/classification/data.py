@@ -59,6 +59,92 @@ def load_cifar(data_dir: str, dataset: str = "cifar10") -> Tuple[np.ndarray, np.
     return tx, ty, vx, vy
 
 
+def load_svhn(data_dir: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """SVHN cropped-digits .mat files (reference data_loading.py svhn path)."""
+    import scipy.io as sio
+
+    root = Path(data_dir)
+    tr = sio.loadmat(root / "train_32x32.mat")
+    te = sio.loadmat(root / "test_32x32.mat")
+
+    def conv(d):
+        x = d["X"].transpose(3, 0, 1, 2)  # HWCN -> NHWC
+        y = d["y"].reshape(-1).astype(np.int32) % 10  # label 10 -> 0
+        return x, y
+
+    tx, ty = conv(tr)
+    vx, vy = conv(te)
+    return tx, ty, vx, vy
+
+
+def imagenet_folder_samples(data_dir: str, split: str = "train"):
+    """ImageNet folder layout: {root}/{split}/{wnid}/*.JPEG. Returns
+    (filepaths, labels, class_names)."""
+    root = Path(data_dir) / split
+    classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    files, labels = [], []
+    for c in classes:
+        for f in sorted((root / c).iterdir()):
+            files.append(str(f))
+            labels.append(cls_idx[c])
+    return files, np.array(labels, np.int32), classes
+
+
+def imagenet_batches(files, labels, batch_size: int, *, train: bool,
+                     size: int = 224, seed: int = 0,
+                     workers: int = 8) -> Iterator[Dict[str, np.ndarray]]:
+    """ImageNet loader: random-resized-crop + hflip (train) or
+    resize-256/center-crop-224 (eval), ImageNet normalization."""
+    import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    rng = np.random.default_rng(seed)
+    n = len(files)
+    order = rng.permutation(n) if train else np.arange(n)
+    nb = n // batch_size if train else -(-n // batch_size)
+
+    def load_one(args):
+        idx, s = args
+        r = np.random.default_rng(s)
+        im = cv2.cvtColor(cv2.imread(files[idx]), cv2.COLOR_BGR2RGB)
+        h, w = im.shape[:2]
+        if train:
+            # random resized crop: area in [0.08, 1], aspect in [3/4, 4/3]
+            for _ in range(10):
+                area = h * w * r.uniform(0.08, 1.0)
+                ar = np.exp(r.uniform(np.log(3 / 4), np.log(4 / 3)))
+                cw = int(round(np.sqrt(area * ar)))
+                ch = int(round(np.sqrt(area / ar)))
+                if cw <= w and ch <= h:
+                    x0 = r.integers(0, w - cw + 1)
+                    y0 = r.integers(0, h - ch + 1)
+                    im = im[y0 : y0 + ch, x0 : x0 + cw]
+                    break
+            im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+            if r.random() < 0.5:
+                im = im[:, ::-1]
+        else:
+            scale = 256 / min(h, w)
+            im = cv2.resize(im, (round(w * scale), round(h * scale)))
+            hh, ww = im.shape[:2]
+            y0, x0 = (hh - size) // 2, (ww - size) // 2
+            im = im[y0 : y0 + size, x0 : x0 + size]
+        return (im.astype(np.float32) / 255.0 - mean) / std
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for b in range(nb):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            if len(idx) < batch_size:
+                idx = np.resize(idx, batch_size)
+            seeds = rng.integers(1 << 31, size=len(idx))
+            ims = list(pool.map(load_one, zip(idx, seeds)))
+            yield {"img": np.stack(ims).astype(np.float32),
+                   "label": labels[idx].astype(np.int32)}
+
+
 def make_synthetic(num_classes: int = 10, n_train: int = 512, n_test: int = 128,
                    size: int = 32, seed: int = 0):
     """Class-separable random data for smoke tests."""

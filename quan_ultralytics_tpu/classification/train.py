@@ -173,6 +173,12 @@ class ExperimentManager:
                "lr": lr, **val}
         self.metrics.append(row)
         (self.dir / "metrics.json").write_text(json.dumps(self.metrics, indent=2))
+        try:  # training curves (reference experiment_manager.py:95-178)
+            from quan_ultralytics_tpu.utils.plotting import plot_curves
+
+            plot_curves(self.metrics, str(self.dir / "curves.png"))
+        except Exception:
+            pass
         return row
 
     def save_checkpoint(self, state: ClsState, epoch: int, val_acc: float, keep_last: int = 5):

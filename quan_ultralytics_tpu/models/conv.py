@@ -87,6 +87,11 @@ class QConv2D(nn.Module):
     use_bias: bool = True
     mapping_type: str = "poincare"
     dtype: Any = None  # compute dtype; params stay float32
+    impl: Optional[str] = None  # grouped | folded | auto — MXU mapping choice:
+    # 'grouped' = one fgc=4g conv (1/4 the FLOPs of dense); 'folded' = mixing
+    # folded into a dense kernel (4x FLOPs but full 128-lane occupancy —
+    # wins on narrow layers); 'auto' = folded when C_out/4 < 32. Default
+    # comes from $QUAN_QCONV_IMPL (benchmark knob), else 'grouped'.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +129,18 @@ class QConv2D(nn.Module):
                 jnp.float32,
             )
         dtype = self.dtype or x.dtype
+        import os
+
+        impl = self.impl or os.environ.get("QUAN_QCONV_IMPL", "grouped")
+        if impl == "auto":
+            impl = "folded" if (cout < 32 and self.g == 1) else "grouped"
+        if impl == "folded" and self.g == 1:
+            from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
+            from quan_ultralytics_tpu.ops.qconv import fold_dense_kernel, qconv2d_folded
+
+            dk = fold_dense_kernel(w, jnp.asarray(MIX_MATRIX))
+            return qconv2d_folded(x.astype(dtype), dk, b, stride=self.s,
+                                  padding=pad, dilation=self.d)
         return qconv2d(
             x.astype(dtype),
             w,

@@ -28,9 +28,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
-    """Shard every leaf along its leading (batch) dimension."""
+    """Shard every leaf along its leading (batch) dimension; batches not
+    divisible by the mesh fall back to replication (tiny-run escape hatch)."""
+    n = mesh.shape[axis]
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        ok = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0
+        return jax.device_put(x, sharding if ok else rep)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
