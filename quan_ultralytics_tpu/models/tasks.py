@@ -147,12 +147,17 @@ class QUANYOLO(nn.Module):
     save: Tuple[int, ...]
     dtype: Any = None
     mapping_type: str = "poincare"
+    remat: bool = False  # rematerialize CSP blocks: trade FLOPs for HBM
+    # (jax.checkpoint analog of activation checkpointing; enables big imgsz
+    # or batch on 16GB v5e HBM)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         saved: Dict[int, jnp.ndarray] = {}
         y = x
         out = None
+        C3k2_cls = nn.remat(B.C3k2, static_argnums=(2,)) if self.remat else B.C3k2
+        QC2PSA_cls = nn.remat(B.QC2PSA, static_argnums=(2,)) if self.remat else B.QC2PSA
         for spec in self.specs:
             inputs = [y if j == -1 else saved[j] for j in spec.f]
             name = f"model_{spec.i}"
@@ -162,13 +167,13 @@ class QUANYOLO(nn.Module):
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m in ("C3k2", "QC3k2"):
-                y = B.C3k2(*a, dtype=self.dtype, name=name)(inputs[0], train)
+                y = C3k2_cls(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "C2f":
                 y = B.C2f(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QSPPF":
                 y = B.QSPPF(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QC2PSA":
-                y = B.QC2PSA(*a, dtype=self.dtype, name=name)(inputs[0], train)
+                y = QC2PSA_cls(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QPSA":
                 y = B.QPSA(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QUpsample":
@@ -217,13 +222,14 @@ class DetectionModel:
 
     @classmethod
     def from_yaml(cls, model: str, nc: Optional[int] = None, dtype: Any = None,
-                  mapping_type: str = "poincare") -> "DetectionModel":
+                  mapping_type: str = "poincare", remat: bool = False) -> "DetectionModel":
         cfg, scale = resolve_model_cfg(model)
         specs, save, nc_ = parse_model(cfg, scale, nc)
         head = specs[-1]
         task = "obb" if head.module == "OBB" else ("classify" if head.module == "Classify" else "detect")
         strides = head.args[-1]
-        module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype, mapping_type=mapping_type)
+        module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype,
+                          mapping_type=mapping_type, remat=remat)
         return cls(cfg, scale, nc_, task, module, specs, strides, mapping_type=mapping_type)
 
     def init(self, rng, imgsz: int = 64):

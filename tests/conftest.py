@@ -17,6 +17,25 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    """--slow opt-in marker (reference tests/conftest.py:20-35)."""
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="run slow convergence tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="needs --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running convergence tests")
+
+
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(0)
