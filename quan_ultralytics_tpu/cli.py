@@ -42,9 +42,13 @@ def main(argv=None):
     kv = parse_kv(argv)
 
     if task == "classify":
+        # classification has its own reference-compatible argparse CLI
         from quan_ultralytics_tpu.classification.cli import main as cls_main
 
-        return cls_main(argv)
+        flags = []
+        for k, v in kv.items():
+            flags += [f"--{k}", str(v)]
+        return cls_main(flags)
 
     from quan_ultralytics_tpu.engine.model import YOLO
 

@@ -227,7 +227,7 @@ class DetectionModel:
         specs, save, nc_ = parse_model(cfg, scale, nc)
         head = specs[-1]
         task = "obb" if head.module == "OBB" else ("classify" if head.module == "Classify" else "detect")
-        strides = head.args[-1]
+        strides = () if task == "classify" else head.args[-1]
         module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype,
                           mapping_type=mapping_type, remat=remat)
         return cls(cfg, scale, nc_, task, module, specs, strides, mapping_type=mapping_type)
@@ -245,3 +245,17 @@ class DetectionModel:
             feats, angles = out
             return H.decode_obb(feats, angles, self.strides, self.nc, self.reg_max)
         return H.decode_detect(out, self.strides, self.nc, self.reg_max)
+
+    def info(self, variables=None, imgsz: int = 640, log=print):
+        """Layer table + params/GFLOPs summary (reference model_info,
+        torch_utils.py:299, and parse_model's build log)."""
+        log(f"{'':>3}{'from':>14}{'n':>3}  {'module':<14}{'args'}")
+        for s in self.specs:
+            log(f"{s.i:>3}{str(list(s.f)):>14}{s.n:>3}  {s.module:<14}{list(s.args)}")
+        if variables is not None:
+            from quan_ultralytics_tpu.utils.profiler import summary
+
+            info = summary(self, variables, imgsz)
+            log(f"{self.scale}-scale {self.task}: {info['params']:,} params, "
+                f"~{info['approx_conv_gflops']:.1f} conv GFLOPs @ {imgsz}px")
+            return info
