@@ -30,6 +30,12 @@ TARGET = 2 * A100_PROXY_IMG_S
 
 
 def main():
+    import os
+
+    # best measured conv mapping (see CLAUDE.md): folded-dense for narrow
+    # layers, grouped for wide — +25% over all-grouped at 1024px
+    os.environ.setdefault("QUAN_QCONV_IMPL", "auto")
+
     import jax
     import jax.numpy as jnp
 

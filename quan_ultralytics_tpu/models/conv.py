@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from quan_ultralytics_tpu.ops.mappings import rgb_to_quaternion
-from quan_ultralytics_tpu.ops.qconv import autopad, qconv2d, qdense
+from quan_ultralytics_tpu.ops.qconv import autopad, qconv2d, qconv2d_phase0, qconv2d_phase1, qdense
 from quan_ultralytics_tpu.ops.pooling import qupsample
 
 IntOr2 = Union[int, Tuple[int, int]]
@@ -92,18 +92,32 @@ class QConv2D(nn.Module):
     # folded into a dense kernel (4x FLOPs but full 128-lane occupancy —
     # wins on narrow layers); 'auto' = folded when C_out/4 < 32. Default
     # comes from $QUAN_QCONV_IMPL (benchmark knob), else 'grouped'.
+    stem_mode: Optional[str] = None  # phase_out | phase_in — phase-composite
+    # stem convs (ops/stem.py): identical math with space-to-depth-packed
+    # intermediates so narrow stem activations never hit HBM lane-padded.
+    # Requires k=3, s=2. Params are UNCHANGED (rearranged at apply time).
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         first = self.c1 == 3
-        if first:
+        packed_first = first and self.stem_mode == "phase_out"
+        if packed_first:
+            # mapping + r=4 space-to-depth fused: the narrow 1024-grid input
+            # never materializes (see ops/stem.py)
+            from quan_ultralytics_tpu.ops.stem import s2d4_rgb_mapped
+
+            assert x.ndim == 4 and x.shape[-1] == 3
+            x = s2d4_rgb_mapped(x, self.mapping_type)
+            cin = 1
+        elif first:
             assert x.ndim == 4 and x.shape[-1] == 3, f"RGB first layer expects NHWC, got {x.shape}"
             x = rgb_to_quaternion(x, self.mapping_type)
             cin = 1
         else:
             assert self.c1 % 4 == 0, f"c1={self.c1} must be a multiple of 4"
             cin = self.c1 // 4
-            assert x.shape[-1] == cin and x.shape[-2] == 4, f"expected [...,4,{cin}], got {x.shape}"
+            want = 4 * cin if self.stem_mode == "phase_in" else cin
+            assert x.shape[-1] == want and x.shape[-2] == 4, f"expected [...,4,{want}], got {x.shape}"
         assert self.c2 % 4 == 0, f"c2={self.c2} must be a multiple of 4"
         cout = self.c2 // 4
         assert cin % self.g == 0
@@ -129,6 +143,16 @@ class QConv2D(nn.Module):
                 jnp.float32,
             )
         dtype = self.dtype or x.dtype
+        if self.stem_mode == "phase_out":
+            assert (kh, kw) == (3, 3) and self.s in (2, (2, 2))
+            if packed_first:
+                from quan_ultralytics_tpu.ops.qconv import qconv2d_phase0_packed
+
+                return qconv2d_phase0_packed(x.astype(dtype), w, b)
+            return qconv2d_phase0(x.astype(dtype), w, b, groups=self.g)
+        if self.stem_mode == "phase_in":
+            assert (kh, kw) == (3, 3) and self.s in (2, (2, 2))
+            return qconv2d_phase1(x.astype(dtype), w, b, groups=self.g)
         import os
 
         impl = self.impl or os.environ.get("QUAN_QCONV_IMPL", "grouped")
@@ -170,12 +194,16 @@ class IQBN(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1
     dtype: Any = None
+    phase_packed: bool = False  # input is space-to-depth packed [..., 4, 4*C]
+    # (stem path, ops/stem.py): stats reduce over the phase axis too, which
+    # reproduces the unpacked statistics EXACTLY (phases partition positions)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         assert self.c % 4 == 0
         C = self.c // 4
-        assert x.shape[-1] == C and x.shape[-2] == 4, f"expected [...,4,{C}], got {x.shape}"
+        want = 4 * C if self.phase_packed else C
+        assert x.shape[-1] == want and x.shape[-2] == 4, f"expected [...,4,{want}], got {x.shape}"
         gamma = self.param("gamma", nn.initializers.ones, (4, C), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (4, C), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((4, C), jnp.float32))
@@ -183,8 +211,14 @@ class IQBN(nn.Module):
 
         if train:
             xf = x.astype(jnp.float32)
-            mean = xf.mean(axis=(0, 1, 2))
-            var = xf.var(axis=(0, 1, 2)) + 1e-8
+            if self.phase_packed:
+                B, H, W, Q, _ = xf.shape
+                xp = xf.reshape(B, H, W, Q, 4, C)
+                mean = xp.mean(axis=(0, 1, 2, 4))
+                var = xp.var(axis=(0, 1, 2, 4)) + 1e-8
+            else:
+                mean = xf.mean(axis=(0, 1, 2))
+                var = xf.var(axis=(0, 1, 2)) + 1e-8
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
@@ -195,6 +229,9 @@ class IQBN(nn.Module):
         dtype = self.dtype or x.dtype
         scale = (gamma * jax.lax.rsqrt(var + self.eps)).astype(dtype)
         shift = (beta - gamma * mean * jax.lax.rsqrt(var + self.eps)).astype(dtype)
+        if self.phase_packed:
+            scale = jnp.tile(scale, (1, 4))
+            shift = jnp.tile(shift, (1, 4))
         return x.astype(dtype) * scale + shift
 
 
@@ -234,14 +271,17 @@ class Conv(nn.Module):
     act: bool = True
     mapping_type: str = "poincare"
     dtype: Any = None
+    stem_mode: Optional[str] = None  # see QConv2D.stem_mode
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = QConv2D(
             self.c1, self.c2, self.k, self.s, self.p, self.g, self.d,
-            use_bias=False, mapping_type=self.mapping_type, dtype=self.dtype, name="conv",
+            use_bias=False, mapping_type=self.mapping_type, dtype=self.dtype,
+            stem_mode=self.stem_mode, name="conv",
         )(x)
-        x = IQBN(self.c2, dtype=self.dtype, name="bn")(x, train=train)
+        x = IQBN(self.c2, dtype=self.dtype,
+                 phase_packed=self.stem_mode == "phase_out", name="bn")(x, train=train)
         return nn.silu(x) if self.act else x
 
 

@@ -150,6 +150,9 @@ class QUANYOLO(nn.Module):
     remat: bool = False  # rematerialize CSP blocks: trade FLOPs for HBM
     # (jax.checkpoint analog of activation checkpointing; enables big imgsz
     # or batch on 16GB v5e HBM)
+    stem_s2d: bool = True  # phase-composite stem (ops/stem.py): identical
+    # math, ~identical params, avoids lane-padded narrow stem activations —
+    # the stem was 45% of forward time at 1024px without it
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -163,7 +166,18 @@ class QUANYOLO(nn.Module):
             name = f"model_{spec.i}"
             m, a = spec.module, spec.args
             if m == "Conv":
-                y = C.Conv(*a, mapping_type=self.mapping_type, dtype=self.dtype, name=name)(inputs[0], train)
+                stem_mode = None
+                # packed layout must stay strictly between layers 0 and 1
+                stem_ok = (
+                    self.stem_s2d and 0 not in self.save
+                    and len(self.specs) > 1
+                    and self.specs[0].module == "Conv" and self.specs[1].module == "Conv"
+                    and self.specs[0].args[2:4] == (3, 2) and self.specs[1].args[2:4] == (3, 2)
+                )
+                if stem_ok and spec.i in (0, 1):
+                    stem_mode = "phase_out" if spec.i == 0 else "phase_in"
+                y = C.Conv(*a, mapping_type=self.mapping_type, dtype=self.dtype,
+                           stem_mode=stem_mode, name=name)(inputs[0], train)
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m in ("C3k2", "QC3k2"):
@@ -199,7 +213,9 @@ class QUANYOLO(nn.Module):
                 raise ValueError(f"unknown module {m}")
             if spec.i in self.save:
                 saved[spec.i] = y
-        return out
+        # head output if present; else the last layer's tensor (lets graph
+        # prefixes run for profiling, utils/profiler.profile_layers)
+        return out if out is not None else y
 
 
 @dataclass

@@ -127,6 +127,98 @@ def qconv2d(
     return y.astype(x.dtype)
 
 
+def qconv2d_phase0(x: jnp.ndarray, w: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                   groups: int = 1) -> jnp.ndarray:
+    """Stem layer-0 phase-composite qconv (see ops/stem.py): a k=3,s=2,p=1
+    separable qconv producing its output space-to-depth packed — one
+    k=5,s=4 conv, no narrow intermediate ever hits HBM.
+
+    x: [B, H, W, 4, cin]; w: [4, 3, 3, cin/g, cout].
+    Returns [B, H/4, W/4, 4, 4*cout] (per-component channels phase-major).
+    """
+    from quan_ultralytics_tpu.ops.stem import expand_w_l0
+
+    B, H, W, _, cin = x.shape
+    _, kh, kw, cin_pg, cout = w.shape
+    assert kh == 3 and kw == 3
+    w5 = jnp.stack([expand_w_l0(w[d]) for d in range(4)])  # [4,5,5,cin_pg,4cout]
+    x_flat = x.reshape(B, H, W, 4 * cin)
+    kernel = jnp.transpose(w5, (1, 2, 3, 0, 4)).reshape(5, 5, cin_pg, 4 * 4 * cout)
+    s = lax.conv_general_dilated(
+        x_flat, kernel.astype(x_flat.dtype), window_strides=(4, 4),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=4 * groups,
+        precision=lax.Precision.HIGHEST,
+    )
+    Ho, Wo = s.shape[1], s.shape[2]
+    y = mix_components(s.reshape(B, Ho, Wo, 4, 4 * cout), axis=-2)
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def qconv2d_phase0_packed(x_packed: jnp.ndarray, w: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stem layer-0 qconv on an r=4 space-to-depth-packed input (see
+    ops/stem.py s2d4_rgb_mapped): k=2,s=1 conv over 16*cin-wide channels —
+    the narrow 1024-grid input never exists on device, only the 256-grid
+    64-channel packing. Output matches `qconv2d_phase0` (r=2 packed).
+
+    x_packed: [B, H/4, W/4, 4, 16*cin]; w: [4, 3, 3, cin, cout].
+    Returns [B, H/4, W/4, 4, 4*cout].
+    """
+    from quan_ultralytics_tpu.ops.stem import expand_w_l0_s2d4
+
+    B, Hp, Wp, _, cin16 = x_packed.shape
+    _, kh, kw, cin, cout = w.shape
+    assert kh == 3 and cin16 == 16 * cin
+    w2 = jnp.stack([expand_w_l0_s2d4(w[d]) for d in range(4)])  # [4,2,2,16cin,4cout]
+    x_flat = x_packed.reshape(B, Hp, Wp, 4 * cin16)
+    kernel = jnp.transpose(w2, (1, 2, 3, 0, 4)).reshape(2, 2, 16 * cin, 4 * 4 * cout)
+    s = lax.conv_general_dilated(
+        x_flat, kernel.astype(x_flat.dtype), window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=4,
+        precision=lax.Precision.HIGHEST,
+    )
+    y = mix_components(s.reshape(B, Hp, Wp, 4, 4 * cout), axis=-2)
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y.astype(x_packed.dtype)
+
+
+def qconv2d_phase1(x: jnp.ndarray, w: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                   groups: int = 1) -> jnp.ndarray:
+    """Stem layer-1 phase-composite qconv: a k=3,s=2,p=1 separable qconv
+    consuming the phase-packed layout from `qconv2d_phase0` — one k=2,s=1
+    conv with top-left padding, producing the ORIGINAL (unpacked) output.
+
+    x: [B, H', W', 4, 4*cin] phase-packed; w: [4, 3, 3, cin/g, cout].
+    Returns [B, H', W', 4, cout].
+    """
+    from quan_ultralytics_tpu.ops.stem import expand_w_l1
+
+    B, H, W, _, cin4 = x.shape
+    _, kh, kw, cin_pg, cout = w.shape
+    assert kh == 3 and kw == 3 and cin4 == 4 * cin_pg * groups
+    w2 = jnp.stack([expand_w_l1(w[d]) for d in range(4)])  # [4,2,2,4cin_pg,cout]
+    x_flat = x.reshape(B, H, W, 4 * cin4)
+    kernel = jnp.transpose(w2, (1, 2, 3, 0, 4)).reshape(2, 2, 4 * cin_pg, 4 * cout)
+    s = lax.conv_general_dilated(
+        x_flat, kernel.astype(x_flat.dtype), window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=4 * groups,
+        precision=lax.Precision.HIGHEST,
+    )
+    y = mix_components(s.reshape(B, H, W, 4, cout), axis=-2)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
 def fold_dense_kernel(w: jnp.ndarray, mix: jnp.ndarray) -> jnp.ndarray:
     """Fold the mixing matrix into a dense HWIO kernel (inference option).
 

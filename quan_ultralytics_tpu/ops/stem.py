@@ -1,0 +1,124 @@
+"""Phase-composite (space-to-depth) stem convolutions.
+
+TPU lane-padding makes the narrow stem layers (4..32 channels at 1024px)
+HBM-bound: activations are stored padded to 128 lanes, inflating traffic up
+to 32x. Measured on v5e: the 2-layer stem is ~45% of QUAN-YOLO11n's forward
+time at 1024px.
+
+Fix (math-identical, checkpoint-compatible — only the *weights* are
+rearranged at apply time):
+
+  * layer 0: a k=3,s=2,p=1 conv evaluated at the 4 stride-2 phases at once —
+    one k=5,s=4 conv whose outputs are the space-to-depth packing of the
+    original outputs: [H/2, W/2, C] -> [H/4, W/4, 4C] with phase-major
+    channel order (a, b, c).
+  * layer 1: a k=3,s=2,p=1 conv consuming that packed layout — a k=2,s=1
+    conv with left/top padding producing the ORIGINAL layer-1 output.
+
+Derivation: with Y[u,v] = sum_{d in [0,3)^2} W[d] X[2u+d-1, 2v+d-1],
+  pack Z[i,j,(a,b)] = Y[2i+a, 2j+b]:
+  - Z[i,j,(a,b)] = sum_d W[d] X[4i+2a+d-1, ...] -> tap p = 2a+d in [0,5)
+    => W5[p,q,(a,b,co)] = W3[p-2a, q-2b] when 0 <= p-2a <= 2, else 0;
+    conv(k=5, s=4, pad=1).
+  - layer 1 on Z: out[i,j] = sum_d W[d] Y[2i+d-1, 2j+d-1]; Y row 2i+d-1 =
+    Z row (i-1+pa) phase a with d-1 = 2pa+a-2 valid for
+    (pa,a) in {(0,1),(1,0),(1,1)} => W2[pa,qb,(a,b,ci),co] nonzero there;
+    conv(k=2, s=1, pad=(1,0) top-left).
+
+Both expansions verified against the composed reference path in
+tests/test_stem.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """[..., H, W, C] -> [..., H/r, W/r, r*r*C] phase-major (a, b, c)."""
+    *lead, H, W, C = x.shape
+    x = x.reshape(*lead, H // r, r, W // r, r, C)
+    x = jnp.moveaxis(x, -4, -3)  # [..., H/r, W/r, a, b, C]
+    return x.reshape(*lead, H // r, W // r, r * r * C)
+
+
+def expand_w_l0(w3: jnp.ndarray) -> jnp.ndarray:
+    """[kh=3, kw=3, cin, cout] -> [5, 5, cin, 4*cout] phase-major (a,b,co)."""
+    kh, kw, cin, cout = w3.shape
+    assert kh == kw == 3
+    w5 = jnp.zeros((5, 5, cin, 2, 2, cout), w3.dtype)
+    for a in range(2):
+        for b in range(2):
+            w5 = w5.at[2 * a : 2 * a + 3, 2 * b : 2 * b + 3, :, a, b, :].set(w3)
+    return w5.reshape(5, 5, cin, 4 * cout)
+
+
+def expand_w_l1(w3: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, cin, cout] -> [2, 2, 4*cin, cout] consuming phase-major input."""
+    kh, kw, cin, cout = w3.shape
+    assert kh == kw == 3
+    w2 = jnp.zeros((2, 2, 2, 2, cin, cout), w3.dtype)  # [pa, qb, a, b, ci, co]
+    for pa in range(2):
+        for a in range(2):
+            d = 2 * pa + a - 2  # row offset in the original kernel, -1..1 valid
+            if not -1 <= d <= 1:
+                continue
+            for qb in range(2):
+                for b in range(2):
+                    e = 2 * qb + b - 2
+                    if not -1 <= e <= 1:
+                        continue
+                    w2 = w2.at[pa, qb, a, b, :, :].set(w3[d + 1, e + 1])
+    return w2.reshape(2, 2, 4 * cin, cout)
+
+
+def tile_affine_for_phases(p: jnp.ndarray) -> jnp.ndarray:
+    """IQBN gamma/beta [4(comp), C] -> [4, 4*C] matching phase-major packing."""
+    return jnp.tile(p, (1, 4))
+
+
+def expand_w_l0_s2d4(w3: jnp.ndarray) -> jnp.ndarray:
+    """Layer-0 conv consuming an r=4 space-to-depth-packed input and emitting
+    the r=2 packed output: [3, 3, cin, cout] -> [2, 2, 16*cin, 4*cout].
+
+    Input channels are (a4, b4, ci) phase-major on the 1024-grid packed to
+    the 256-grid; output channels (a2, b2, co) on the 512-grid packed to the
+    256-grid. Derivation: output row u = 2i + a2 (512-grid) taps input row
+    4i + 2*a2 + d - 1 = 4*(i + pm - 1) + a4 with d = a4 - 2*a2 + 4*pm - 3,
+    valid when 0 <= d <= 2 — a k=2, s=1 conv with top-left padding 1.
+    """
+    kh, kw, cin, cout = w3.shape
+    assert kh == kw == 3
+    w = jnp.zeros((2, 2, 4, 4, cin, 2, 2, cout), w3.dtype)  # [pm,qn,a4,b4,ci,a2,b2,co]
+    for pm in range(2):
+        for a2 in range(2):
+            for a4 in range(4):
+                d = a4 - 2 * a2 + 4 * pm - 3
+                if not 0 <= d <= 2:
+                    continue
+                for qn in range(2):
+                    for b2 in range(2):
+                        for b4 in range(4):
+                            e = b4 - 2 * b2 + 4 * qn - 3
+                            if not 0 <= e <= 2:
+                                continue
+                            w = w.at[pm, qn, a4, b4, :, a2, b2, :].set(w3[d, e])
+    return w.reshape(2, 2, 16 * cin, 4 * cout)
+
+
+def s2d4_rgb_mapped(x_rgb: jnp.ndarray, mapping_type: str) -> jnp.ndarray:
+    """RGB [B, H, W, 3] -> quaternion-mapped, r=4 packed [B, H/4, W/4, 4, 16].
+
+    Per-pixel mapping commutes with spatial packing; packed per-component
+    channels are phase-major (a4, b4) matching `expand_w_l0_s2d4`.
+    """
+    from quan_ultralytics_tpu.ops.mappings import rgb_to_quaternion
+
+    B, H, W, _ = x_rgb.shape
+    x = x_rgb.reshape(B, H // 4, 4, W // 4, 4, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, H/4, W/4, a4, b4, 3]
+    q = rgb_to_quaternion(x.reshape(B, H // 4, W // 4 * 16, 3), mapping_type)
+    q = q.reshape(B, H // 4, W // 4, 4, 4, 4, 1)  # [..., a4, b4, quat, 1]
+    q = jnp.moveaxis(q, 5, 3)[..., 0]  # [B, H/4, W/4, quat, a4, b4]
+    return q.reshape(B, H // 4, W // 4, 4, 16)
