@@ -148,3 +148,29 @@ def test_activations():
     yn = np.asarray(y)
     cross = np.abs(xn * yn[..., ::-1, :]).sum()  # crude sanity
     assert yn.shape == xn.shape
+
+
+def test_instances_algebra():
+    from quan_ultralytics_tpu.utils.instance import Bboxes, Instances
+
+    b = Bboxes(np.array([[10, 10, 30, 40]], np.float32), "xyxy")
+    b.convert("xywh")
+    np.testing.assert_allclose(b.bboxes, [[20, 25, 20, 30]])
+    b.convert("ltwh")
+    np.testing.assert_allclose(b.bboxes, [[10, 10, 20, 30]])
+    b.convert("xyxy")
+    np.testing.assert_allclose(b.bboxes, [[10, 10, 30, 40]])
+    assert b.areas()[0] == 600
+
+    inst = Instances(np.array([[0.5, 0.5, 0.2, 0.4]], np.float32),
+                     bbox_format="xywh", normalized=True)
+    inst.denormalize(100, 200)
+    np.testing.assert_allclose(inst.bboxes, [[50, 100, 20, 80]])
+    inst.fliplr(100)
+    np.testing.assert_allclose(inst.bboxes, [[50, 100, 20, 80]])  # centered box unchanged
+    inst.convert_bbox("xyxy")
+    inst.clip(45, 200)  # clip cuts the box at x=45
+    assert inst.bboxes[0, 2] == 45
+    inst.convert_bbox("xywh")
+    keep = inst.remove_zero_area_boxes()
+    assert keep.all() and len(inst) == 1
