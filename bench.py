@@ -43,7 +43,7 @@ def main():
     from quan_ultralytics_tpu.ops.boxes import non_max_suppression
 
     imgsz = 1024
-    batch = 64  # utilization climbs with batch: 16->207, 32->272, 64->384 img/s (128 OOMs)
+    batch = 96  # utilization climbs with batch: 16~207, 32~272, 64~384, 96~546 img/s (128 OOMs)
     iters = 10
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
