@@ -1,0 +1,179 @@
+"""Batch builder: augment -> format -> fixed-shape padded numpy batches.
+
+The TPU analog of reference data/build.py (InfiniteDataLoader :28 +
+collate). Every batch has static shapes: images ``[B, imgsz, imgsz, 3]``
+float32 in [0, 1], labels padded to ``max_labels`` with a validity mask —
+the dense equivalent of the reference's variable-length collate + loss-side
+`preprocess` (loss.py:425-439). Uses a thread pool for decode/augment
+overlap (cv2 releases the GIL).
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from quan_ultralytics_tpu.data.augment import (
+    AugmentHyp,
+    copy_paste,
+    corners_to_xywhr,
+    corners_to_xyxy,
+    flip_corners,
+    letterbox,
+    mixup,
+    random_hsv,
+    random_perspective,
+    xywh_to_corners,
+)
+from quan_ultralytics_tpu.data.dataset import YOLODataset
+
+
+def _load_sample_pixels(ds: YOLODataset, i: int, imgsz: int):
+    """Load image letterboxed to imgsz; labels as pixel-space corners."""
+    im = ds.load_image(i)
+    h0, w0 = im.shape[:2]
+    s = ds.samples[i]
+    im, r, (dw, dh) = letterbox(im, imgsz)
+    if ds.task == "obb":
+        corners = s.bboxes.reshape(-1, 4, 2) * [w0, h0]
+    else:
+        corners = xywh_to_corners(s.bboxes * [w0, h0, w0, h0])
+    corners = corners * r + [dw, dh]
+    return im, corners.astype(np.float32), s.cls.copy()
+
+
+def _mosaic4(ds: YOLODataset, indices, imgsz: int, rng: np.random.Generator):
+    """4-image mosaic on a 2x canvas (reference augment.py:490 Mosaic)."""
+    s2 = imgsz * 2
+    yc, xc = (int(rng.uniform(imgsz // 2, 3 * imgsz // 2)) for _ in range(2))
+    canvas = np.full((s2, s2, 3), 114, np.uint8)
+    all_c, all_cls = [], []
+    for k, idx in enumerate(indices):
+        im, corners, cls = _load_sample_pixels(ds, idx, imgsz)
+        h, w = im.shape[:2]
+        if k == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif k == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s2), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif k == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s2, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s2), min(s2, yc + h)
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = im[y1b : y1b + (y2a - y1a), x1b : x1b + (x2a - x1a)]
+        if corners.size:
+            shifted = corners + [x1a - x1b, y1a - y1b]
+            all_c.append(shifted)
+            all_cls.append(cls)
+    corners = np.concatenate(all_c) if all_c else np.zeros((0, 4, 2), np.float32)
+    cls = np.concatenate(all_cls) if all_cls else np.zeros(0, np.int32)
+    return canvas, corners.astype(np.float32), cls
+
+
+def _format(im, corners, cls, task: str, imgsz: int, max_labels: int):
+    """Pixel corners -> normalized padded label tensors."""
+    boxes_dim = 5 if task == "obb" else 4
+    out_boxes = np.zeros((max_labels, boxes_dim), np.float32)
+    out_cls = np.zeros(max_labels, np.int32)
+    out_mask = np.zeros(max_labels, bool)
+    n = min(corners.shape[0], max_labels)
+    if n:
+        if task == "obb":
+            xywhr = corners_to_xywhr(corners[:n])
+            xywhr[:, 0] /= imgsz
+            xywhr[:, 1] /= imgsz
+            xywhr[:, 2] /= imgsz
+            xywhr[:, 3] /= imgsz
+            out_boxes[:n] = xywhr
+        else:
+            xyxy = corners_to_xyxy(corners[:n], imgsz, imgsz)
+            xywh = np.stack([
+                (xyxy[:, 0] + xyxy[:, 2]) / 2, (xyxy[:, 1] + xyxy[:, 3]) / 2,
+                xyxy[:, 2] - xyxy[:, 0], xyxy[:, 3] - xyxy[:, 1],
+            ], axis=1) / imgsz
+            out_boxes[:n] = xywh
+        out_cls[:n] = cls[:n]
+        out_mask[:n] = True
+    return {
+        "img": (im.astype(np.float32) / 255.0),
+        "bboxes": out_boxes,
+        "cls": out_cls,
+        "mask": out_mask,
+    }
+
+
+def make_sample(ds: YOLODataset, idx: int, imgsz: int, hyp: Optional[AugmentHyp],
+                max_labels: int, rng: np.random.Generator, augment: bool) -> Dict[str, np.ndarray]:
+    if augment and hyp and rng.random() < hyp.mosaic:
+        others = rng.integers(0, len(ds), 3)
+        im, corners, cls = _mosaic4(ds, [idx, *others], imgsz, rng)
+        if hyp.copy_paste > 0:
+            im, corners, cls = copy_paste(im, corners, cls, rng, hyp.copy_paste)
+        # mosaic canvas (2x) -> perspective with border crop back to imgsz
+        im, corners, cls = random_perspective(im, corners, cls, hyp, rng,
+                                              border=(-imgsz // 2, -imgsz // 2))
+        if hyp.mixup > 0 and rng.random() < hyp.mixup:
+            # second mosaic for MixUp (reference v8_transforms: MixUp after
+            # RandomPerspective, augment.py:2278-2345)
+            o2 = rng.integers(0, len(ds), 4)
+            im2, c2, k2 = _mosaic4(ds, list(o2), imgsz, rng)
+            im2, c2, k2 = random_perspective(im2, c2, k2, hyp, rng,
+                                             border=(-imgsz // 2, -imgsz // 2))
+            im, corners, cls = mixup(im, corners, cls, im2, c2, k2, rng)
+    else:
+        im, corners, cls = _load_sample_pixels(ds, idx, imgsz)
+        if augment and hyp:
+            im, corners, cls = random_perspective(im, corners, cls, hyp, rng, border=(0, 0))
+    if augment and hyp:
+        im = random_hsv(im, hyp, rng)
+        im, corners = flip_corners(im, corners, hyp, rng)
+    return _format(im, corners, cls, ds.task, imgsz, max_labels)
+
+
+def build_dataloader(
+    ds: YOLODataset,
+    batch_size: int,
+    imgsz: int = 640,
+    hyp: Optional[AugmentHyp] = None,
+    max_labels: int = 128,
+    augment: bool = True,
+    shuffle: bool = True,
+    seed: int = 0,
+    workers: int = 4,
+    drop_last: bool = True,
+    multi_scale: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """One epoch of fixed-shape batches (stack of `make_sample` outputs).
+
+    multi_scale: per-batch image size drawn from a discrete 0.5-1.5x ladder
+    aligned to the 32-stride grid (reference detect/train.py:60-72). A small
+    static set of sizes keeps the number of XLA compilations bounded.
+    """
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(ds)) if shuffle else np.arange(len(ds))
+    n = len(order)
+    nb = n // batch_size if drop_last else math.ceil(n / batch_size)
+    if nb == 0 and n > 0:  # tiny dataset: repeat to fill one batch
+        order = np.resize(order, batch_size)
+        nb = 1
+    if multi_scale:
+        gs = 32
+        sizes = sorted({max(int(imgsz * f) // gs * gs, gs) for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for b in range(nb):
+            idxs = order[b * batch_size : (b + 1) * batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.resize(idxs, batch_size)
+            size = int(rng.choice(sizes)) if multi_scale else imgsz
+            child_rngs = [np.random.default_rng(rng.integers(1 << 31)) for _ in idxs]
+            samples = list(pool.map(
+                lambda t: make_sample(ds, int(t[0]), size, hyp, max_labels, t[1], augment),
+                zip(idxs, child_rngs),
+            ))
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
