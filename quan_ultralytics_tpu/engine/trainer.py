@@ -37,6 +37,7 @@ from flax.training import train_state
 from quan_ultralytics_tpu.losses.detect import LossHyp, detection_loss, obb_loss
 from quan_ultralytics_tpu.models.tasks import DetectionModel
 from quan_ultralytics_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from quan_ultralytics_tpu.parallel.prefetch import prefetch_to_device
 
 
 @dataclasses.dataclass
@@ -95,16 +96,28 @@ def _param_label(path: Tuple, leaf) -> str:
     return "weight"
 
 
-def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """lr(step): warmup then linear (or cosine) decay to lr0*lrf
-    (reference trainer 'one_cycle'/linear `lf`, trainer.py:810 + :366-376)."""
-    # Reference floors warmup at 100 iterations (trainer.py:366); an explicit
-    # warmup_epochs=0 disables it entirely (tiny-run/overfit use).
-    warmup_steps = 0 if cfg.warmup_epochs == 0 else max(int(cfg.warmup_epochs * steps_per_epoch), 100)
+def _warmup_updates(cfg: TrainConfig, steps_per_epoch: int, accumulate: int) -> float:
+    """Warmup length in OPTIMIZER updates. The reference floors warmup at 100
+    dataloader iterations (trainer.py:366); under grad accumulation the
+    schedules inside optax.MultiSteps only see one count per `accumulate`
+    micro-steps, so both the epoch length and the floor are divided by it."""
+    if cfg.warmup_epochs == 0:  # explicit 0 disables (tiny-run/overfit use)
+        return 0.0
+    return max(cfg.warmup_epochs * steps_per_epoch, 100.0) / accumulate
+
+
+def lr_schedule(
+    cfg: TrainConfig, steps_per_epoch: int, accumulate: int = 1
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """lr(update): warmup then linear (or cosine) decay to lr0*lrf
+    (reference trainer 'one_cycle'/linear `lf`, trainer.py:810 + :366-376).
+    `update` counts optimizer updates (= micro-steps / accumulate)."""
+    warmup_steps = _warmup_updates(cfg, steps_per_epoch, accumulate)
+    updates_per_epoch = max(steps_per_epoch / accumulate, 1e-9)
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        frac_epoch = step / steps_per_epoch
+        frac_epoch = step / updates_per_epoch
         if cfg.cos_lr:
             decay = cfg.lrf + 0.5 * (1 - cfg.lrf) * (1 + jnp.cos(math.pi * frac_epoch / cfg.epochs))
         else:
@@ -122,10 +135,10 @@ def build_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Gra
     build_optimizer :759+): momentum ramps warmup_momentum -> momentum, the
     bias group's LR ramps from warmup_bias_lr DOWN to the schedule, weight
     decay only on conv weights, scaled by batch*accumulate/nbs."""
-    schedule = lr_schedule(cfg, steps_per_epoch)
     accumulate = max(round(cfg.nbs / cfg.batch), 1)
+    schedule = lr_schedule(cfg, steps_per_epoch, accumulate)
     wd = cfg.weight_decay * cfg.batch * accumulate / cfg.nbs
-    warmup_steps = 0 if cfg.warmup_epochs == 0 else max(int(cfg.warmup_epochs * steps_per_epoch), 100)
+    warmup_steps = _warmup_updates(cfg, steps_per_epoch, accumulate)
 
     def momentum_schedule(step):
         if warmup_steps == 0:
@@ -199,7 +212,8 @@ class Trainer:
             opt_state=opt_state,
             ema_params=params,
         )
-        return jax.device_get(state) and state  # force materialization
+        jax.block_until_ready(state)
+        return state
 
     def loss_fn(self, params, batch_stats, batch):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
@@ -226,19 +240,32 @@ class Trainer:
             (loss, (aux, new_stats)), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 state.params, state.batch_stats, batch
             )
-            if guard_nan:
-                # NaN guard (the reference's commented nan_to_num hook,
-                # trainer.py:248, done right): a non-finite loss or grad
-                # skips the whole update instead of poisoning the weights.
-                finite = jnp.isfinite(loss)
-                for g in jax.tree_util.tree_leaves(grads):
-                    finite &= jnp.isfinite(g).all()
-                grads = jax.tree_util.tree_map(lambda g: jnp.where(finite, g, 0.0), grads)
-                aux = {**aux, "nan_skipped": (~finite).astype(jnp.float32)}
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             step = state.step + 1
             ema = ema_update(state.ema_params, new_params, step, self.cfg.ema_decay, self.cfg.ema_tau)
+            if guard_nan:
+                # NaN guard (the reference's commented nan_to_num hook,
+                # trainer.py:248, done right): a non-finite loss or grad skips
+                # the WHOLE update — params, optimizer state (incl. momentum
+                # buffers and schedule counters), EMA, and the step counter
+                # all keep their previous values instead of being poisoned or
+                # nudged by stale momentum.
+                finite = jnp.isfinite(loss)
+                for g in jax.tree_util.tree_leaves(grads):
+                    finite &= jnp.isfinite(g).all()
+
+                def keep(new, old):
+                    return jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(finite, n, o), new, old
+                    )
+
+                new_params = keep(new_params, state.params)
+                new_opt = keep(new_opt, state.opt_state)
+                ema = keep(ema, state.ema_params)
+                new_stats = keep(new_stats, state.batch_stats)
+                step = jnp.where(finite, step, state.step)
+                aux = {**aux, "nan_skipped": (~finite).astype(jnp.float32)}
             return (
                 state.replace(step=step, params=new_params, batch_stats=new_stats,
                               opt_state=new_opt, ema_params=ema),
@@ -280,11 +307,14 @@ class Trainer:
                 close_mosaic_hook(epoch)  # reference close_mosaic (trainer.py:354)
             t0 = time.time()
             losses = []
-            for batch in train_loader_fn(epoch):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                batch = shard_batch(self.mesh, batch)
+            # background thread converts + device_puts the NEXT batches while
+            # the current step runs (H2D hides behind device compute)
+            for batch in prefetch_to_device(train_loader_fn(epoch), self.mesh, size=2):
                 state, loss, aux = step_fn(state, batch)
-                losses.append(float(loss))
+                # keep losses on device: fetching per step would block on
+                # dispatch latency every iteration and kill async pipelining
+                losses.append(loss)
+            losses = [float(x) for x in jax.device_get(losses)]
             row = {"epoch": epoch, "loss": float(np.mean(losses)) if losses else float("nan"),
                    "time_s": round(time.time() - t0, 2)}
             fitness = row["loss"] * -1.0  # fallback when no validator
@@ -310,25 +340,22 @@ class Trainer:
         return state
 
     def save_checkpoint(self, path, state: TrainState, epoch: int) -> None:
-        import pickle
-        from pathlib import Path
+        from quan_ultralytics_tpu.utils import checkpoint
 
-        payload = {
+        checkpoint.save(path, {
             "epoch": epoch,
             "step": int(state.step),
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "ema_params": jax.device_get(state.ema_params),
-            "opt_state": jax.device_get(state.opt_state),
-        }
-        Path(path).write_bytes(pickle.dumps(payload))
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params,
+            "opt_state": state.opt_state,
+        })
 
     def restore_checkpoint(self, path) -> Tuple[TrainState, int]:
         """Resume (reference check_resume/resume_training trainer.py:692-750)."""
-        import pickle
-        from pathlib import Path
+        from quan_ultralytics_tpu.utils import checkpoint
 
-        payload = pickle.loads(Path(path).read_bytes())
+        payload = checkpoint.restore(path)
         state = TrainState(
             step=jnp.asarray(payload["step"], jnp.int32),
             params=payload["params"],

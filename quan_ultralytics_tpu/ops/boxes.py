@@ -14,6 +14,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +111,43 @@ def regularize_rboxes(rboxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, w_, h_, t_], axis=-1)
 
 
+def scale_boxes(boxes, ratio_pad, ori_shape=None):
+    """Map letterboxed-pixel xyxy boxes back to source-image coordinates
+    (reference utils/ops.py:92 scale_boxes). Works on numpy or jnp arrays.
+
+    Args:
+      boxes: ``[..., 4]`` xyxy in letterboxed pixels.
+      ratio_pad: ``(r, dw, dh)`` from data/augment.letterbox.
+      ori_shape: optional ``(h0, w0)`` to clip against.
+    """
+    r, dw, dh = ratio_pad[0], ratio_pad[1], ratio_pad[2]
+    x1 = (boxes[..., 0] - dw) / r
+    y1 = (boxes[..., 1] - dh) / r
+    x2 = (boxes[..., 2] - dw) / r
+    y2 = (boxes[..., 3] - dh) / r
+    if ori_shape is not None:
+        h0, w0 = ori_shape[0], ori_shape[1]
+        x1 = x1.clip(0, w0)
+        x2 = x2.clip(0, w0)
+        y1 = y1.clip(0, h0)
+        y2 = y2.clip(0, h0)
+    stack = jnp.stack if isinstance(boxes, jnp.ndarray) else np.stack
+    return stack([x1, y1, x2, y2], axis=-1)
+
+
+def scale_rboxes(rboxes, ratio_pad):
+    """Map letterboxed-pixel xywhr boxes back to source-image coordinates
+    (reference obb/val.py pred_to_json: xy shift-and-scale, wh scale, angle
+    unchanged — letterbox is a uniform scale + translation)."""
+    r, dw, dh = ratio_pad[0], ratio_pad[1], ratio_pad[2]
+    x = (rboxes[..., 0] - dw) / r
+    y = (rboxes[..., 1] - dh) / r
+    w = rboxes[..., 2] / r
+    h = rboxes[..., 3] / r
+    stack = jnp.stack if isinstance(rboxes, jnp.ndarray) else np.stack
+    return stack([x, y, w, h, rboxes[..., 4]], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # IoU family (reference utils/metrics.py:80-277)
 # ---------------------------------------------------------------------------
@@ -199,22 +237,34 @@ def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 
     return keep
 
 
-def nms_axis_aligned(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.45) -> jnp.ndarray:
-    """Fixed-shape greedy-equivalent fast-NMS for xyxy boxes.
+def nms_axis_aligned(
+    boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.45, passes: int = 4
+) -> jnp.ndarray:
+    """Fixed-shape NMS for xyxy boxes, iterated to the greedy fixed point.
 
-    Same one-shot suppression shape as `nms_rotated` but with standard IoU —
-    a deliberate, jit-friendly simplification of torchvision.ops.nms
-    (sequential greedy); with one-shot suppression a box suppressed by an
-    already-suppressed box is still removed, which can only reduce recall
-    marginally at matched thresholds.
+    The reference detect path uses torchvision.ops.nms — SEQUENTIAL greedy
+    (a box suppressed by an already-suppressed box survives). A single
+    all-pairs pass (fast-NMS) over-suppresses those chains. Greedy keep is
+    the fixed point of  keep_i = ¬∃ j<i: keep_j ∧ iou_ij ≥ thr  (in score
+    order); iterating that map from all-true alternates fast-NMS-like lower
+    bounds with upper bounds and resolves suppression chains up to depth
+    `passes` exactly — real detections rarely chain deeper than 3
+    (tests/test_boxes.py checks equality with sequential greedy). Each pass
+    is one masked [n, n] reduction, so this stays parallel on the MXU/VPU
+    instead of a length-n serial scan.
     """
     order = jnp.argsort(-scores)
     b = boxes[order]
     ious = bbox_iou(b[:, None, :], b[None, :, :], xywh=False)
     n = boxes.shape[0]
     upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
-    suppressed = ((ious >= iou_threshold) & upper).any(axis=0)
-    keep = jnp.zeros(n, dtype=bool).at[order].set(~suppressed)
+    sup = (ious >= iou_threshold) & upper  # sup[j, i]: higher-scoring j hits i
+
+    def body(_, keep):
+        return ~(sup & keep[:, None]).any(axis=0)
+
+    keep_sorted = jax.lax.fori_loop(0, passes, body, jnp.ones(n, dtype=bool))
+    keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
     return keep
 
 

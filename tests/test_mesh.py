@@ -1,0 +1,150 @@
+"""Multi-device data parallelism on the 8-virtual-CPU mesh (conftest.py).
+
+Validates the framework's actual parallelism path — the TPU-native analog of
+the reference's DDP (ultralytics/engine/trainer.py:273, utils/dist.py:56-66,
+data/build.py:139-163): batch sharded over a 1-D ``data`` mesh, params and
+optimizer state replicated, GSPMD inserting the gradient all-reduce.
+
+Key invariants tested:
+  * the sharded train step computes the SAME loss/gradients/new params as the
+    unsharded single-device step on the same global batch (GSPMD all-reduce
+    == serial global-batch mean),
+  * params/opt_state/EMA stay replicated-identical across devices after k
+    steps (no replica drift),
+  * IQBN batch statistics are GLOBAL-batch statistics under sharding (synced
+    BN semantics, models/conv.py:186-191) — not per-shard stats like the
+    reference's per-GPU BN.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+from quan_ultralytics_tpu.models.tasks import DetectionModel
+from quan_ultralytics_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+def _setup(nc=3, batch=8, imgsz=64, seed=0):
+    model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=nc)
+    cfg = TrainConfig(epochs=2, batch=batch, imgsz=imgsz, nbs=batch,
+                      warmup_epochs=0.0, dtype="float32")
+    trainer = Trainer(model, cfg, steps_per_epoch=2)
+    state = trainer.init_state(jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
+    M = 4
+    batch_data = {
+        "img": jnp.asarray(rng.rand(batch, imgsz, imgsz, 3).astype(np.float32)),
+        "bboxes": jnp.asarray(
+            np.tile(np.array([[0.5, 0.5, 0.3, 0.2, 0.1]], np.float32), (batch, M, 1))
+        ),
+        "cls": jnp.zeros((batch, M), jnp.int32),
+        "mask": jnp.ones((batch, M), bool),
+    }
+    return trainer, state, batch_data
+
+
+def _leaves_allclose(a, b, rtol, atol, what=""):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float64), np.asarray(y, np.float64),
+            rtol=rtol, atol=atol, err_msg=what,
+        )
+
+
+def test_sharded_step_matches_single_device():
+    """One train step on the 8-device mesh == the same step on one device,
+    same global batch: loss and every updated parameter agree."""
+    trainer, state, batch = _setup()
+    step = trainer.make_train_step()
+
+    mesh = make_mesh(8)
+    s_state = replicate(mesh, state)
+    s_batch = shard_batch(mesh, batch)
+    sharded_state, sharded_loss, _ = step(s_state, s_batch)
+
+    dev0 = jax.devices()[0]
+    u_state = jax.device_put(state, dev0)
+    u_batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), batch)
+    single_state, single_loss, _ = step(u_state, u_batch)
+
+    np.testing.assert_allclose(float(sharded_loss), float(single_loss), rtol=2e-5)
+    # fp32 all-reduce vs serial summation: reduction order differs, so allow
+    # tiny absolute slack on the updated values (measured ~2e-6)
+    _leaves_allclose(sharded_state.params, single_state.params, 1e-3, 2e-5, "params")
+    _leaves_allclose(sharded_state.batch_stats, single_state.batch_stats,
+                     1e-3, 2e-5, "batch_stats")
+
+
+def test_params_stay_replicated_after_k_steps():
+    """After k sharded steps, every parameter/EMA/opt-state leaf is fully
+    replicated and bitwise-identical across all 8 devices."""
+    trainer, state, batch = _setup()
+    step = trainer.make_train_step()
+    mesh = make_mesh(8)
+    state = replicate(mesh, state)
+    for k in range(3):
+        state, loss, _ = step(state, shard_batch(mesh, batch))
+    assert np.isfinite(float(loss))
+
+    for name, tree in [("params", state.params), ("ema", state.ema_params),
+                       ("opt_state", state.opt_state)]:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert leaf.sharding.is_fully_replicated, f"{name} leaf not replicated"
+            shards = leaf.addressable_shards
+            assert len(shards) == 8
+            ref = np.asarray(shards[0].data)
+            for s in shards[1:]:
+                np.testing.assert_array_equal(ref, np.asarray(s.data),
+                                              err_msg=f"{name} replica drift")
+
+
+def test_iqbn_stats_are_global_under_sharding():
+    """IQBN reduces over the GLOBAL batch under pjit (synced-BN): with a batch
+    whose per-device shards have wildly different statistics, the updated
+    running stats equal the unsharded computation, not any per-shard value."""
+    from quan_ultralytics_tpu.models.conv import IQBN
+
+    mesh = make_mesh(8)
+    mod = IQBN(c=8, momentum=1.0)  # momentum=1: running stats <- batch stats
+    # per-device shard i has mean ~ i (strongly device-dependent)
+    x = np.random.RandomState(0).randn(8, 4, 4, 4, 2).astype(np.float32)
+    x += np.arange(8, dtype=np.float32)[:, None, None, None, None]
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+
+    def apply(v, x):
+        y, upd = mod.apply(v, x, train=True, mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    japply = jax.jit(apply)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    y_sharded, stats_sharded = japply(vs, xs)
+    y_single, stats_single = japply(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(stats_sharded["mean"]),
+                               np.asarray(stats_single["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats_sharded["var"]),
+                               np.asarray(stats_single["var"]), rtol=1e-5, atol=1e-5)
+    # global mean over this construction is ~3.5, far from any shard's own mean
+    assert abs(float(np.asarray(stats_sharded["mean"]).mean()) - x.mean(axis=(0, 1, 2, 3)).mean()) < 1e-3
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_single),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batch_not_divisible_replicates():
+    """shard_batch's escape hatch: a batch not divisible by the mesh is
+    replicated rather than crashing (tiny-run path)."""
+    mesh = make_mesh(8)
+    tree = {"img": jnp.zeros((3, 4, 4, 3))}
+    out = shard_batch(mesh, tree)
+    assert out["img"].sharding.is_fully_replicated
