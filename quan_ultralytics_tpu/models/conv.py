@@ -98,7 +98,27 @@ class QConv2D(nn.Module):
     # Requires k=3, s=2. Params are UNCHANGED (rearranged at apply time).
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
+        if return_weights:
+            # param-only mode for fused dispatch (models/conv.py Conv): declare
+            # the exact same params and hand them to the caller's kernel
+            assert self.c1 != 3 and self.c1 % 4 == 0 and self.c2 % 4 == 0
+            kh, kw = (self.k, self.k) if isinstance(self.k, int) else self.k
+            cin, cout = self.c1 // 4, self.c2 // 4
+            w = self.param("w", qconv_kaiming_uniform(self.mapping_type),
+                           (4, kh, kw, cin // self.g, cout), jnp.float32)
+            b = None
+            if self.use_bias:
+                fan_in = kh * kw * (cin // self.g)
+                b = self.param(
+                    "b",
+                    lambda key, shape, dtype=jnp.float32: qconv_bias_uniform(self.mapping_type)(
+                        key, shape, dtype, fan_in=fan_in
+                    ),
+                    (cout,),
+                    jnp.float32,
+                )
+            return w, b
         first = self.c1 == 3
         packed_first = first and self.stem_mode == "phase_out"
         if packed_first:
@@ -157,7 +177,10 @@ class QConv2D(nn.Module):
 
         impl = self.impl or os.environ.get("QUAN_QCONV_IMPL", "grouped")
         if impl == "auto":
-            impl = "folded" if (cout < 32 and self.g == 1) else "grouped"
+            # fold (dense-kernel) narrow layers: 4x essential FLOPs but full
+            # 128-lane MXU occupancy; threshold tunable for on-chip sweeps
+            fold_max = int(os.environ.get("QUAN_QCONV_FOLD_MAX", "32"))
+            impl = "folded" if (cout < fold_max and self.g == 1) else "grouped"
         if impl == "folded" and self.g == 1:
             from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
             from quan_ultralytics_tpu.ops.qconv import fold_dense_kernel, qconv2d_folded
@@ -199,15 +222,19 @@ class IQBN(nn.Module):
     # reproduces the unpacked statistics EXACTLY (phases partition positions)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, return_affine: bool = False):
         assert self.c % 4 == 0
         C = self.c // 4
-        want = 4 * C if self.phase_packed else C
-        assert x.shape[-1] == want and x.shape[-2] == 4, f"expected [...,4,{want}], got {x.shape}"
         gamma = self.param("gamma", nn.initializers.ones, (4, C), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (4, C), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((4, C), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((4, C), jnp.float32))
+        if return_affine:
+            # param-only mode for fused eval dispatch (Conv): declare the same
+            # params/stats and return them for an external folded kernel
+            return gamma, beta, ra_mean.value, ra_var.value
+        want = 4 * C if self.phase_packed else C
+        assert x.shape[-1] == want and x.shape[-2] == 4, f"expected [...,4,{want}], got {x.shape}"
 
         if train:
             xf = x.astype(jnp.float32)
@@ -275,6 +302,28 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import os
+
+        k1 = self.k in (1, (1, 1))
+        if (not train and k1 and self.g == 1 and self.stem_mode is None
+                and self.c1 != 3 and os.environ.get("QUAN_FUSED_1X1") == "1"):
+            # single fused Pallas kernel: 4 MXU matmuls + mixing + folded
+            # IQBN + SiLU, reading BHWQC directly (the TPU analog of the
+            # reference's fused CUDA kernel, quaternion_ops_optimized.cu:422)
+            from quan_ultralytics_tpu.ops.pallas.qconv_fused import fold_iqbn, qconv1x1_fused
+
+            w, _ = QConv2D(
+                self.c1, self.c2, self.k, self.s, self.p, self.g, self.d,
+                use_bias=False, mapping_type=self.mapping_type, dtype=self.dtype,
+                name="conv",
+            )(x, return_weights=True)
+            gamma, beta, mean, var = IQBN(self.c2, dtype=self.dtype, name="bn")(
+                None, return_affine=True
+            )
+            scale, shift = fold_iqbn(gamma, beta, mean, var)
+            dtype = self.dtype or x.dtype
+            return qconv1x1_fused(x.astype(dtype), w, scale, shift,
+                                  apply_silu=self.act)
         x = QConv2D(
             self.c1, self.c2, self.k, self.s, self.p, self.g, self.d,
             use_bias=False, mapping_type=self.mapping_type, dtype=self.dtype,

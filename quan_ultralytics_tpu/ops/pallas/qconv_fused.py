@@ -85,6 +85,7 @@ def qconv1x1_fused(
         functools.partial(_kernel, apply_affine=apply_affine, apply_silu=apply_silu),
         out_shape=jax.ShapeDtypeStruct((P_pad, 4, Co_pad), x.dtype),
         grid=grid,
+        interpret=jax.default_backend() == "cpu",  # CPU tests run the interpreter
         in_specs=[
             pl.BlockSpec((block_p, 4, Ci), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, Ci, block_o), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),

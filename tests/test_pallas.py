@@ -37,6 +37,27 @@ def _fused_interpret(x, w, scale, shift, apply_silu=True):
     return out[:P].reshape(B, H, W, 4, Co)
 
 
+def test_conv_block_fused_dispatch_matches(monkeypatch):
+    """Conv (QConv2D+IQBN+SiLU) with QUAN_FUSED_1X1=1 dispatches to the
+    Pallas kernel (interpret mode on CPU) and matches the unfused eval path;
+    the param tree is identical so checkpoints work with either path."""
+    from quan_ultralytics_tpu.models.conv import Conv
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 8)).astype(np.float32))
+    mod = Conv(32, 48, 1)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    # randomize stats so the IQBN fold is non-trivial
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v["batch_stats"]["bn"]["mean"] = jnp.asarray(rng.normal(size=(4, 12)).astype(np.float32) * 0.1)
+    v["batch_stats"]["bn"]["var"] = jnp.asarray(rng.uniform(0.5, 1.5, (4, 12)).astype(np.float32))
+
+    ref = mod.apply(v, x, train=False)
+    monkeypatch.setenv("QUAN_FUSED_1X1", "1")
+    got = mod.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
 def test_fused_qconv1x1_matches_reference_path():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 8)).astype(np.float32))

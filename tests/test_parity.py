@@ -1,0 +1,232 @@
+"""Numerical parity against the actual PyTorch reference model.
+
+Instantiates the reference OBBModel from /root/reference on CPU (stubbing its
+absent torchvision/thop deps), ports its weights into our JAX pytree, and
+asserts eval-mode forward outputs agree per layer and end-to-end.
+
+Mixing convention: the reference's own PyTorch fallback
+(ultralytics/nn/modules/conv.py:487-496) uses a sign matrix that DISAGREES
+with its CUDA kernels (quaternion_ops.cu:152-155) — and the CUDA matrix is
+ground truth (the published results ran on CUDA; see ops/mixing.py). The
+fixture therefore patches the reference QConv2D fallback to do exactly what
+the reference CUDA kernel does: identical separable convs, CUDA mixing signs,
+bias on the real component before mixing. Everything else in the reference
+runs untouched.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout unavailable")
+
+
+# ---------------------------------------------------------------------------
+# Reference import machinery
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_modules(tmp_path_factory):
+    """Import the reference ultralytics with stubs + the CUDA-mixing patch."""
+    stub_dir = tmp_path_factory.mktemp("tvstub")
+    di = stub_dir / "torchvision-0.19.0.dist-info"
+    di.mkdir()
+    (di / "METADATA").write_text("Metadata-Version: 2.1\nName: torchvision\nVersion: 0.19.0\n")
+    sys.path.insert(0, str(stub_dir))
+    sys.path.insert(0, str(REF))
+    for name in ("torchvision", "thop", "test"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__version__ = "0.19.0"
+            sys.modules[name] = mod
+
+    import torch.nn.functional as F
+    from ultralytics.nn.modules import conv as ref_conv
+    from ultralytics.nn import tasks as ref_tasks
+
+    def cuda_mixing_forward(self, x):
+        """Reference QConv2D forward with the CUDA kernel's semantics
+        (quaternion_ops.cu:42-181): input prep identical to the torch
+        fallback (conv.py:421-440), then separable convs + the
+        'Zhou separable CORRECTED' mixing (.cu:152-155) with bias_r added to
+        s_r before mixing (.cu:87)."""
+        if self.is_first_layer:
+            x = self._rgb_to_quaternion(x)
+        elif x.dim() == 4:
+            B, C, H, W = x.shape
+            x = x.view(B, C // 4, 4, H, W).permute(0, 1, 3, 4, 2)
+        x = x.contiguous()
+        kw = dict(stride=self.stride, padding=self.padding,
+                  dilation=self.dilation, groups=self.groups)
+        r = F.conv2d(x[..., 0], self.weight_r, self.bias_r, **kw)
+        i = F.conv2d(x[..., 1], self.weight_i, None, **kw)
+        j = F.conv2d(x[..., 2], self.weight_j, None, **kw)
+        k = F.conv2d(x[..., 3], self.weight_k, None, **kw)
+        out_r = r + i + j + k
+        out_i = r - i - j + k
+        out_j = r + i - j - k
+        out_k = r - i + j - k
+        return torch.stack([out_r, out_i, out_j, out_k], dim=-1)
+
+    orig = ref_conv.QConv2D.forward
+    ref_conv.QConv2D.forward = cuda_mixing_forward
+    yield types.SimpleNamespace(conv=ref_conv, tasks=ref_tasks)
+    ref_conv.QConv2D.forward = orig
+
+
+def to_bhwqc(t):
+    """Reference activation -> our BHWQC layout."""
+    a = t.detach().cpu().numpy()
+    if a.ndim == 5:  # [B, C, H, W, 4]
+        return a.transpose(0, 2, 3, 4, 1)
+    if a.ndim == 4:  # [B, 4C, H, W] channel-major (c*4+q, conv.py:430-434)
+        B, C4, H, W = a.shape
+        return a.reshape(B, C4 // 4, 4, H, W).transpose(0, 3, 4, 2, 1)
+    raise AssertionError(a.shape)
+
+
+def _randomize_stats(torch_model, seed=0):
+    """Perturb BN affine + running stats so the port actually tests the
+    [C,4]<->[4,C] transposes (defaults are all-ones/zeros, which would pass
+    under a transposed port too)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for mod in torch_model.modules():
+            if hasattr(mod, "running_mean") and hasattr(mod, "gamma"):
+                mod.running_mean.normal_(0.0, 0.05, generator=g)
+                mod.running_var.uniform_(0.8, 1.2, generator=g)
+                mod.gamma.uniform_(0.8, 1.2, generator=g)
+                mod.beta.normal_(0.0, 0.05, generator=g)
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def parity_pair(ref_modules):
+    """(torch OBBModel, our DetectionModel, ported variables)."""
+    import jax
+
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+    from quan_ultralytics_tpu.utils.torch_port import port_torch_model
+
+    tm = ref_modules.tasks.OBBModel("yolo11n-obb-quan.yaml", nc=15, verbose=False)
+    tm.eval()
+    _randomize_stats(tm)
+    jm = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15)
+    variables = jm.init(jax.random.PRNGKey(0), imgsz=64)
+    ported = port_torch_model(tm, variables)
+    return tm, jm, ported
+
+
+def test_port_covers_all_flax_leaves(parity_pair):
+    """Every leaf was ported with matching shape (asserted inside the
+    porter); the 272-param delta (unused attn IQLN + frozen DFL arange) is on
+    the torch side only (test_models.py::test_param_count_matches_reference)."""
+    tm, jm, ported = parity_pair
+    import jax
+
+    n = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(ported["params"]))
+    assert n == 693840 - 256 - 16
+
+
+def test_qconv_module_parity(ref_modules):
+    """A lone QConv2D (k=3, s=2, c1=16, c2=32): ported weights give identical
+    outputs (reference conv.py:70-499 vs ops/qconv.qconv2d)."""
+    import jax
+
+    from quan_ultralytics_tpu.models.conv import QConv2D as JQConv
+
+    tq = ref_modules.conv.QConv2D(16, 32, kernel_size=3, stride=2, padding=1, bias=True)
+    tq.eval()
+    jq = JQConv(16, 32, k=3, s=2, use_bias=True)
+    x = np.random.RandomState(0).randn(2, 8, 8, 4, 4).astype(np.float32)
+    v = jq.init(jax.random.PRNGKey(0), np.zeros_like(x))
+    w = np.stack([tq.state_dict()[f"weight_{c}"].numpy().transpose(2, 3, 1, 0) for c in "rijk"])
+    b = tq.state_dict()["bias_r"].numpy()
+    y_j = np.asarray(jq.apply({"params": {"w": w, "b": b}}, x))
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 4, 1, 2, 3)))  # BHWQC->BCHWQ
+    with torch.no_grad():
+        y_t = to_bhwqc(tq(xt))
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-5)
+
+
+def test_rgb_first_layer_parity(ref_modules):
+    """First-layer RGB mapping (poincare) + qconv matches (conv.py:109-126 /
+    ops/mappings.py)."""
+    import jax
+
+    from quan_ultralytics_tpu.models.conv import QConv2D as JQConv
+
+    tq = ref_modules.conv.QConv2D(3, 16, kernel_size=3, stride=2, padding=1,
+                                  bias=False, mapping_type="poincare")
+    tq.eval()
+    jq = JQConv(3, 16, k=3, s=2, use_bias=False, mapping_type="poincare")
+    x = np.random.RandomState(1).rand(2, 16, 16, 3).astype(np.float32)
+    w = np.stack([tq.state_dict()[f"weight_{c}"].numpy().transpose(2, 3, 1, 0) for c in "rijk"])
+    y_j = np.asarray(jq.apply({"params": {"w": w}}, x))
+    with torch.no_grad():
+        y_t = to_bhwqc(tq(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-5)
+
+
+def test_full_graph_parity_per_layer(parity_pair):
+    """Eval-mode forward of the ENTIRE ported graph: every layer's output
+    matches the reference within fp32 tolerance. Catches any silent semantic
+    drift anywhere in blocks/necks/heads."""
+    import flax.linen as fnn
+    import jax
+
+    from quan_ultralytics_tpu.models.tasks import QUANYOLO
+
+    tm, jm, ported = parity_pair
+    imgsz = 64
+    x = np.random.RandomState(2).rand(1, imgsz, imgsz, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    captured = {}
+    hooks = []
+    for idx, mod in enumerate(tm.model):
+        def mk(idx):
+            def hook(mod, inp, out):
+                captured[idx] = out
+            return hook
+        hooks.append(mod.register_forward_hook(mk(idx)))
+    with torch.no_grad():
+        t_pred, _ = tm(xt)
+    for h in hooks:
+        h.remove()
+
+    n_layers = len(jm.specs)
+    # compare a spread of layers (every layer would be 24 CPU compiles)
+    check = [0, 1, 2, 4, 6, 8, 9, 10, 13, 16, 19, 22]
+    for k in check:
+        prefix = QUANYOLO(tuple(jm.specs[: k + 1]), jm.module.save,
+                          mapping_type=jm.mapping_type)
+        y = np.asarray(prefix.apply(ported, x, train=False))
+        ref = to_bhwqc(captured[k])
+        assert y.shape == ref.shape, (k, y.shape, ref.shape)
+        np.testing.assert_allclose(
+            y, ref, rtol=5e-3, atol=5e-4,
+            err_msg=f"layer {k} ({jm.specs[k].module}) diverged from reference",
+        )
+
+    # full decode: reference (y, _) with y [B, 4+nc+1, A] (xywh px, cls
+    # sigmoid, angle); ours decode() -> [B, A, 4+nc+1] same column order
+    out = jm.module.apply(ported, x, train=False)
+    pred = np.asarray(jm.decode(out))
+    ref_pred = t_pred.numpy().transpose(0, 2, 1)
+    assert pred.shape == ref_pred.shape, (pred.shape, ref_pred.shape)
+    np.testing.assert_allclose(pred[..., :4], ref_pred[..., :4], rtol=5e-3, atol=5e-3,
+                               err_msg="decoded boxes")
+    np.testing.assert_allclose(pred[..., 4:-1], ref_pred[..., 4:-1], rtol=5e-3, atol=1e-4,
+                               err_msg="class scores")
+    np.testing.assert_allclose(pred[..., -1], ref_pred[..., -1], rtol=5e-3, atol=1e-4,
+                               err_msg="angles")
