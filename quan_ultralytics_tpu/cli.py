@@ -13,7 +13,7 @@ import ast
 import sys
 from typing import Any, Dict
 
-MODES = ("train", "val", "predict")
+MODES = ("train", "val", "predict", "export", "track", "tune")
 TASKS = ("detect", "obb", "classify")
 
 
@@ -42,12 +42,34 @@ def main(argv=None):
     kv = parse_kv(argv)
 
     if task == "classify":
-        # classification has its own reference-compatible argparse CLI
+        # classification runs through its reference-compatible CLI; yolo-style
+        # k=v keys are translated (reference cfg/__init__.py routes classify
+        # through the same MODES but a different trainer — same idea here):
+        #   data=cifar10|cifar100|svhn|synthetic -> --dataset NAME
+        #   data=<folder>                        -> --dataset imagenet --data_dir <folder>
+        #   batch -> --batch_size, lr0 -> --lr
         from quan_ultralytics_tpu.classification.cli import main as cls_main
 
+        if mode != "train":
+            raise SystemExit("classify supports mode=train (val runs every epoch)")
+        rename = {"batch": "batch_size", "lr0": "lr"}
         flags = []
         for k, v in kv.items():
-            flags += [f"--{k}", str(v)]
+            if k == "data":
+                from pathlib import Path as _P
+
+                if str(v) in ("cifar10", "cifar100", "svhn", "imagenet", "synthetic"):
+                    flags += ["--dataset", str(v)]
+                elif _P(str(v)).is_dir():
+                    flags += ["--dataset", "imagenet", "--data_dir", str(v)]
+                else:
+                    raise SystemExit(f"classify data must be a known dataset or folder, got {v!r}")
+                continue
+            k = rename.get(k, k)
+            if v is True:
+                flags += [f"--{k}"]
+            else:
+                flags += [f"--{k}", str(v)]
         return cls_main(flags)
 
     from quan_ultralytics_tpu.engine.model import YOLO
@@ -71,6 +93,27 @@ def main(argv=None):
         results = model.predict(source, **kv)
         for r in results:
             print(f"{len(r)} detections", r.boxes[:10])
+    elif mode == "export":
+        # reference cfg/__init__.py MODES 'export' -> Model.export (:851)
+        path = model.export(**kv)
+        print(f"exported: {path}")
+    elif mode == "track":
+        # reference 'track' mode (Model.track): video/dir source -> per-frame
+        # associations via ByteTrack/BoT-SORT
+        if "source" not in kv:
+            raise SystemExit("yolo track requires source=<video-or-dir>")
+        from quan_ultralytics_tpu.data.loaders import load_source
+
+        source = kv.pop("source")
+        tracks = model.track(load_source(source), **kv)
+        for fi, t in enumerate(tracks):
+            print(f"frame {fi}: {len(t)} tracks")
+    elif mode == "tune":
+        if "data" not in kv:
+            raise SystemExit("yolo tune requires data=<dataset.yaml>")
+        data = kv.pop("data")
+        best = model.tune(data, **kv)
+        print(best)
     return 0
 
 

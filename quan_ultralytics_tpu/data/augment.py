@@ -40,24 +40,29 @@ class AugmentHyp:
     copy_paste: float = 0.0
 
 
-def letterbox(im: np.ndarray, new_shape: int, scaleup: bool = True,
+def letterbox(im: np.ndarray, new_shape, scaleup: bool = True,
               center: bool = True) -> Tuple[np.ndarray, float, Tuple[float, float]]:
-    """Resize + pad to square keeping aspect (reference augment.py LetterBox).
+    """Resize + pad keeping aspect (reference augment.py LetterBox).
 
+    new_shape: int (square) or (H, W) — rect batching passes non-square
+    targets (reference data/base.py set_rectangle).
     Returns (image, gain, (pad_w, pad_h))."""
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    H, W = new_shape
     h, w = im.shape[:2]
-    r = min(new_shape / h, new_shape / w)
+    r = min(H / h, W / w)
     if not scaleup:
         r = min(r, 1.0)
     nh, nw = round(h * r), round(w * r)
     if (nh, nw) != (h, w):
         im = cv2.resize(im, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    dh, dw = new_shape - nh, new_shape - nw
+    dh, dw = H - nh, W - nw
     if center:
         top, left = dh // 2, dw // 2
     else:
         top, left = 0, 0
-    out = np.full((new_shape, new_shape, 3), 114, im.dtype)
+    out = np.full((H, W, 3), 114, im.dtype)
     out[top : top + nh, left : left + nw] = im
     return out, r, (left, top)
 

@@ -31,7 +31,7 @@ from quan_ultralytics_tpu.data.augment import (
 from quan_ultralytics_tpu.data.dataset import YOLODataset
 
 
-def _load_sample_pixels(ds: YOLODataset, i: int, imgsz: int):
+def _load_sample_pixels(ds: YOLODataset, i: int, imgsz: int, with_meta: bool = False):
     """Load image letterboxed to imgsz; labels as pixel-space corners."""
     im = ds.load_image(i)
     h0, w0 = im.shape[:2]
@@ -42,6 +42,10 @@ def _load_sample_pixels(ds: YOLODataset, i: int, imgsz: int):
     else:
         corners = xywh_to_corners(s.bboxes * [w0, h0, w0, h0])
     corners = corners * r + [dw, dh]
+    if with_meta:
+        meta = {"ori_shape": np.array([h0, w0], np.float32),
+                "ratio_pad": np.array([r, dw, dh], np.float32)}
+        return im, corners.astype(np.float32), s.cls.copy(), meta
     return im, corners.astype(np.float32), s.cls.copy()
 
 
@@ -76,8 +80,14 @@ def _mosaic4(ds: YOLODataset, indices, imgsz: int, rng: np.random.Generator):
     return canvas, corners.astype(np.float32), cls
 
 
-def _format(im, corners, cls, task: str, imgsz: int, max_labels: int):
-    """Pixel corners -> normalized padded label tensors."""
+def _format(im, corners, cls, task: str, imgsz, max_labels: int):
+    """Pixel corners -> normalized padded label tensors.
+
+    imgsz: int (square) or (H, W) — rect batches normalize x by W and y by H
+    (the loss de-normalizes per-axis the same way, losses/detect.py:93-97).
+    OBB requires square: per-axis normalization would shear rotated boxes.
+    """
+    H, W = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
     boxes_dim = 5 if task == "obb" else 4
     out_boxes = np.zeros((max_labels, boxes_dim), np.float32)
     out_cls = np.zeros(max_labels, np.int32)
@@ -85,18 +95,16 @@ def _format(im, corners, cls, task: str, imgsz: int, max_labels: int):
     n = min(corners.shape[0], max_labels)
     if n:
         if task == "obb":
+            assert H == W, "rect batching is not supported for the OBB task"
             xywhr = corners_to_xywhr(corners[:n])
-            xywhr[:, 0] /= imgsz
-            xywhr[:, 1] /= imgsz
-            xywhr[:, 2] /= imgsz
-            xywhr[:, 3] /= imgsz
+            xywhr[:, :4] /= H
             out_boxes[:n] = xywhr
         else:
-            xyxy = corners_to_xyxy(corners[:n], imgsz, imgsz)
+            xyxy = corners_to_xyxy(corners[:n], W, H)
             xywh = np.stack([
                 (xyxy[:, 0] + xyxy[:, 2]) / 2, (xyxy[:, 1] + xyxy[:, 3]) / 2,
                 xyxy[:, 2] - xyxy[:, 0], xyxy[:, 3] - xyxy[:, 1],
-            ], axis=1) / imgsz
+            ], axis=1) / [W, H, W, H]
             out_boxes[:n] = xywh
         out_cls[:n] = cls[:n]
         out_mask[:n] = True
@@ -109,7 +117,16 @@ def _format(im, corners, cls, task: str, imgsz: int, max_labels: int):
 
 
 def make_sample(ds: YOLODataset, idx: int, imgsz: int, hyp: Optional[AugmentHyp],
-                max_labels: int, rng: np.random.Generator, augment: bool) -> Dict[str, np.ndarray]:
+                max_labels: int, rng: np.random.Generator, augment: bool,
+                with_meta: bool = False) -> Dict[str, np.ndarray]:
+    if with_meta and not augment:
+        # validation path: carry letterbox geometry so predictions can be
+        # mapped back to source-image coordinates (reference ops.scale_boxes,
+        # utils/ops.py:92, and obb/val.py pred_to_json patch handling)
+        im, corners, cls, meta = _load_sample_pixels(ds, idx, imgsz, with_meta=True)
+        out = _format(im, corners, cls, ds.task, imgsz, max_labels)
+        out.update(meta)
+        return out
     if augment and hyp and rng.random() < hyp.mosaic:
         others = rng.integers(0, len(ds), 3)
         im, corners, cls = _mosaic4(ds, [idx, *others], imgsz, rng)
@@ -148,15 +165,44 @@ def build_dataloader(
     workers: int = 4,
     drop_last: bool = True,
     multi_scale: bool = False,
+    with_meta: bool = False,
+    rect: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """One epoch of fixed-shape batches (stack of `make_sample` outputs).
 
     multi_scale: per-batch image size drawn from a discrete 0.5-1.5x ladder
     aligned to the 32-stride grid (reference detect/train.py:60-72). A small
     static set of sizes keeps the number of XLA compilations bounded.
+
+    rect: rectangular batching (reference data/base.py set_rectangle): sort
+    by aspect ratio, letterbox each batch to its own minimal stride-32 shape
+    instead of a square — less padding, fewer wasted pixels. Shapes are
+    quantized to the 32-stride grid, so the number of distinct XLA
+    compilations stays bounded by the aspect spread. Val/predict path only
+    (requires augment=False; forces shuffle off, like the reference).
     """
     rng = np.random.default_rng(seed)
-    order = rng.permutation(len(ds)) if shuffle else np.arange(len(ds))
+    order = rng.permutation(len(ds)) if shuffle and not rect else np.arange(len(ds))
+    batch_shapes = None
+    if rect:
+        assert not augment and not multi_scale, "rect batching is a val/predict feature"
+        shapes = ds.shapes().astype(np.float64)  # [N, 2] (h, w)
+        ar = shapes[:, 0] / shapes[:, 1]
+        order = order[np.argsort(ar[order], kind="stable")]
+        gs = 32
+        nb_r = math.ceil(len(order) / batch_size)
+        batch_shapes = []
+        for b in range(nb_r):
+            ari = ar[order[b * batch_size : (b + 1) * batch_size]]
+            mini, maxi = ari.min(), ari.max()
+            sh = [1.0, 1.0]
+            if maxi < 1:
+                sh = [maxi, 1.0]       # wide images: shrink H
+            elif mini > 1:
+                sh = [1.0, 1.0 / mini]  # tall images: shrink W
+            batch_shapes.append(tuple(
+                int(math.ceil(v * imgsz / gs + 0.5) * gs) for v in sh
+            ))
     n = len(order)
     nb = n // batch_size if drop_last else math.ceil(n / batch_size)
     if nb == 0 and n > 0:  # tiny dataset: repeat to fill one batch
@@ -170,10 +216,19 @@ def build_dataloader(
             idxs = order[b * batch_size : (b + 1) * batch_size]
             if len(idxs) < batch_size:
                 idxs = np.resize(idxs, batch_size)
-            size = int(rng.choice(sizes)) if multi_scale else imgsz
+            if batch_shapes is not None:
+                size = batch_shapes[b]
+            elif multi_scale:
+                size = int(rng.choice(sizes))
+            else:
+                size = imgsz
             child_rngs = [np.random.default_rng(rng.integers(1 << 31)) for _ in idxs]
             samples = list(pool.map(
-                lambda t: make_sample(ds, int(t[0]), size, hyp, max_labels, t[1], augment),
+                lambda t: make_sample(ds, int(t[0]), size, hyp, max_labels, t[1],
+                                      augment, with_meta=with_meta),
                 zip(idxs, child_rngs),
             ))
-            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            if with_meta:
+                batch["im_files"] = [ds.samples[int(i)].im_file for i in idxs]
+            yield batch

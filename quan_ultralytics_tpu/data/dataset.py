@@ -54,7 +54,15 @@ class Sample:
 
 
 class YOLODataset:
-    def __init__(self, data_cfg: str | Dict, split: str = "train", task: str = "detect"):
+    """cache: None | 'ram' | 'disk' — the reference's BaseDataset image cache
+    (data/base.py:181-244 cache_images / cache_images_to_disk). 'ram' keeps
+    decoded RGB arrays (bounded by a psutil availability check like the
+    reference's check_cache_ram); 'disk' writes .npy sidecars into a
+    ``.npy_cache`` directory next to the images and loads those on later
+    epochs (decode once, then raw IO)."""
+
+    def __init__(self, data_cfg: str | Dict, split: str = "train", task: str = "detect",
+                 cache: Optional[str] = None):
         if isinstance(data_cfg, (str, Path)):
             with open(data_cfg) as fh:
                 cfg = yaml.safe_load(fh)
@@ -74,6 +82,42 @@ class YOLODataset:
             self.names = list(names)
         self.nc = len(self.names)
         self.samples = self._load_labels()
+        assert cache in (None, "ram", "disk"), f"cache must be None|'ram'|'disk', got {cache}"
+        self.cache = cache
+        self._ram: List[Optional[np.ndarray]] = [None] * len(self.samples)
+        if cache == "ram" and not self._check_cache_ram():
+            self.cache = None
+
+    def _check_cache_ram(self, safety_margin: float = 0.5) -> bool:
+        """Require the estimated decoded size to fit in available RAM with
+        margin (reference data/base.py:214-235 check_cache_ram)."""
+        if not self.samples:
+            return True
+        try:
+            import psutil
+
+            n_probe = min(8, len(self.samples))
+            per = np.mean([
+                np.prod(self._read_shape(i)) * 3 for i in range(n_probe)
+            ])
+            need = per * len(self.samples)
+            return need < psutil.virtual_memory().available * safety_margin
+        except Exception:
+            return True
+
+    def _read_shape(self, i: int) -> Tuple[int, int]:
+        """(h, w) without a full decode (PIL header read)."""
+        s = self.samples[i]
+        if s.shape is None:
+            from PIL import Image
+
+            with Image.open(s.im_file) as im:
+                s.shape = (im.height, im.width)
+        return s.shape
+
+    def shapes(self) -> np.ndarray:
+        """[N, 2] (h, w) of every image — used by rect batching."""
+        return np.array([self._read_shape(i) for i in range(len(self))], np.int64)
 
     def _label_path(self, im_file: Path) -> Path:
         parts = list(im_file.parts)
@@ -109,8 +153,29 @@ class YOLODataset:
     def __len__(self):
         return len(self.samples)
 
+    def _npy_path(self, i: int) -> Path:
+        f = Path(self.samples[i].im_file)
+        return f.parent / ".npy_cache" / (f.stem + ".npy")
+
     def load_image(self, i: int) -> np.ndarray:
+        """Decoded RGB uint8 image, via the RAM/disk cache when enabled.
+        Callers must not mutate the returned array in place (the augment
+        pipeline letterboxes/copies before any in-place op)."""
+        if self.cache == "ram" and self._ram[i] is not None:
+            return self._ram[i]
+        if self.cache == "disk":
+            p = self._npy_path(i)
+            if p.exists():
+                return np.load(p)
         im = cv2.imread(self.samples[i].im_file)
         if im is None:
             raise FileNotFoundError(self.samples[i].im_file)
-        return cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        self.samples[i].shape = im.shape[:2]
+        if self.cache == "ram":
+            self._ram[i] = im
+        elif self.cache == "disk":
+            p = self._npy_path(i)
+            p.parent.mkdir(exist_ok=True)
+            np.save(p, im)
+        return im

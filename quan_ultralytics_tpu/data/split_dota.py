@@ -102,6 +102,35 @@ def split_image(im_file: str, label_file: str, out_img_dir: Path, out_lbl_dir: P
     return len(windows)
 
 
+def split_test(data_root: str, save_dir: str, crop_size: int = 1024, gap: int = 200):
+    """Split the (label-less) test split into crops for submission inference
+    (reference split_dota.py:230-288 split_test): windows are cropped and
+    saved as ``{stem}__{x}_{y}.jpg`` with no label files; DOTASubmission
+    parses those stems back to source-image coordinates at merge time."""
+    root, out = Path(data_root), Path(save_dir)
+    img_dir = root / "images" / "test"
+    out_img = out / "images" / "test"
+    out_img.mkdir(parents=True, exist_ok=True)
+    total = 0
+    if not img_dir.exists():
+        return 0
+    for f in sorted(img_dir.iterdir()):
+        if f.suffix.lower() not in {".jpg", ".png", ".jpeg", ".tif", ".bmp"}:
+            continue
+        im = cv2.imread(str(f))
+        h, w = im.shape[:2]
+        for x0, y0, x1, y1 in get_windows((h, w), (crop_size,), (gap,)):
+            crop = im[y0:min(y1, h), x0:min(x1, w)]
+            ph, pw = y1 - y0, x1 - x0
+            if crop.shape[0] != ph or crop.shape[1] != pw:
+                pad = np.zeros((ph, pw, 3), im.dtype)
+                pad[: crop.shape[0], : crop.shape[1]] = crop
+                crop = pad
+            cv2.imwrite(str(out_img / f"{f.stem}__{x0}_{y0}.jpg"), crop)
+            total += 1
+    return total
+
+
 def split_trainval(data_root: str, save_dir: str, crop_size: int = 1024, gap: int = 200):
     """Split train+val splits (reference split_dota.py:230-288 layout)."""
     root, out = Path(data_root), Path(save_dir)

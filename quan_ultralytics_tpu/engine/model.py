@@ -53,12 +53,14 @@ class YOLO:
     def train(self, data: Union[str, Dict], epochs: int = 100, batch: int = 16,
               imgsz: int = 640, max_labels: int = 128, save_dir: str = "runs/train",
               close_mosaic: int = 10, resume: Optional[str] = None,
-              log=print, **overrides) -> Dict[str, float]:
+              cache: Optional[str] = None, log=print, **overrides) -> Dict[str, float]:
         """Train on a YOLO-format dataset yaml (reference Model.train :742)."""
-        ds = YOLODataset(data, split="train", task=self.task)
+        ds = YOLODataset(data, split="train", task=self.task, cache=cache)
         if self.model.nc != ds.nc:
             self.model = DetectionModel.from_yaml(self.model_yaml, nc=ds.nc)
         self.names = ds.names
+        aug_overrides = {k: v for k, v in overrides.items()
+                         if hasattr(AugmentHyp, k) and not hasattr(TrainConfig, k)}
         cfg = TrainConfig(epochs=epochs, batch=batch, imgsz=imgsz, save_dir=save_dir,
                           **{k: v for k, v in overrides.items() if hasattr(TrainConfig, k)})
         steps_per_epoch = max(len(ds) // batch, 1)
@@ -73,7 +75,7 @@ class YOLO:
         except Exception:
             val_ds = ds
         validator = Validator(self.model, imgsz=imgsz)
-        hyp = AugmentHyp()
+        hyp = AugmentHyp(**aug_overrides)
 
         def train_loader(epoch):
             return build_dataloader(ds, batch, imgsz, hyp=hyp if hyp.mosaic else None,
@@ -118,10 +120,53 @@ class YOLO:
         path.write_bytes(pickle.dumps(payload))
 
     def val(self, data: Union[str, Dict], split: str = "val", imgsz: int = 640,
-            batch: int = 8, conf: float = 0.001, iou: float = 0.7) -> Dict[str, float]:
-        ds = YOLODataset(data, split=split, task=self.task)
+            batch: int = 8, conf: float = 0.001, iou: float = 0.7,
+            save_json: Optional[str] = None, save_submission: Optional[str] = None,
+            cache: Optional[str] = None, rect: bool = False) -> Dict[str, float]:
+        ds = YOLODataset(data, split=split, task=self.task, cache=cache)
         validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou)
-        return validator(self._ensure_variables(), ds, batch_size=batch)
+        return validator(self._ensure_variables(), ds, batch_size=batch,
+                         save_json=save_json, save_submission=save_submission,
+                         rect=rect)
+
+    def export(self, format: str = "stablehlo", imgsz: int = 640, batch: int = 1,
+               path: Optional[str] = None) -> str:
+        """mode=export (reference Model.export :851 / engine/exporter.py):
+        'stablehlo' (portable XLA graph, the TPU analog of ONNX) or 'params'
+        (pickled variables + yaml, reloadable with YOLO(ckpt))."""
+        from quan_ultralytics_tpu.engine.exporter import export_params, export_stablehlo
+
+        variables = self._ensure_variables()
+        if format == "stablehlo":
+            return export_stablehlo(self.model, variables, imgsz=imgsz, batch=batch,
+                                    path=path or "model.stablehlo")
+        if format == "params":
+            return export_params(self.model, variables, self.model_yaml,
+                                 names=self.names, path=path or "model.pkl")
+        raise ValueError(f"unknown export format {format!r} (stablehlo|params)")
+
+    def tune(self, data: Union[str, Dict], iterations: int = 10, epochs: int = 5,
+             imgsz: int = 640, batch: int = 16, save_dir: str = "runs/tune",
+             **overrides) -> Dict[str, float]:
+        """mode=tune (reference Model.tune :871 / engine/tuner.py): mutation
+        evolution over the training hyperparameters; each iteration trains
+        `epochs` epochs and scores fitness = 0.9*mAP50-95 + 0.1*mAP50."""
+        from quan_ultralytics_tpu.engine.tuner import Tuner
+
+        base = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 5e-4,
+                "warmup_epochs": 3.0, "box": 7.5, "cls": 0.5, "dfl": 1.5}
+        it_count = [0]
+
+        def train_fn(hyp):
+            m = YOLO(self.model_yaml)
+            it_dir = str(Path(save_dir) / f"iter{it_count[0]}")
+            it_count[0] += 1
+            row = m.train(data, epochs=epochs, batch=batch, imgsz=imgsz,
+                          save_dir=it_dir, log=lambda *a: None, **hyp, **overrides)
+            return row.get("fitness", -row.get("loss", float("inf")))
+
+        tuner = Tuner(train_fn, base, save_dir=save_dir)
+        return tuner(iterations)
 
     def predict(self, source, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,
                 max_det: int = 300) -> List[Results]:

@@ -1,0 +1,146 @@
+"""Round-2 TPU measurement session: baseline + perf-variant A/Bs, one process.
+
+Batches everything into a single long-lived process (the axon tunnel wedges
+under process churn). fori_loop timing methodology per CLAUDE.md. Sections:
+
+  1. probe + matmul calibration (session-relative speed-of-light)
+  2. full OBB pipeline @1024 (fwd+decode+NMS) at the headline batch:
+       a. baseline (QUAN_QCONV_IMPL=auto, fold<32)
+       b. fold threshold 64 / 128
+       c. fused Pallas 1x1 path (QUAN_FUSED_1X1=1)
+       d. best-combo re-measure
+  3. COCO detect @640 b64 pipeline (headline config)
+  4. train step @1024 b8
+
+Usage: timeout 5400 python scripts/tpu_r2_session.py [batch] | tee /tmp/r2s.json
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def timed_loop(fn_one, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run():
+        def body(i, acc):
+            return fn_one(acc)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(run())  # compile + warmup
+    t0 = time.perf_counter()
+    float(run())
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def pipeline_fn(model, v, img, nc):
+    from quan_ultralytics_tpu.ops.boxes import non_max_suppression
+
+    def one(acc):
+        pred = model.decode(model.module.apply(v, img + acc * 1e-12, train=False))
+        det, ok = non_max_suppression(pred, nc=nc, rotated=(model.task == "obb"))
+        return det[0, 0, 0].astype("float32")
+
+    return one
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    a = jnp.ones((1024, 1024), jnp.bfloat16)
+    float((a @ a)[0, 0])
+    emit(probe_s=round(time.perf_counter() - t0, 2),
+         devices=[str(d) for d in jax.devices()])
+
+    N = 4096
+    x = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
+    y = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
+    dt = timed_loop(lambda acc: ((x + acc.astype(jnp.bfloat16) * 1e-12) @ y)[0, 0].astype(jnp.float32), iters=50)
+    emit(matmul4096_tflops=round(2 * N**3 / dt / 1e12, 1))
+
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+    model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), imgsz=64)
+    img = jnp.asarray(np.random.rand(B, 1024, 1024, 3).astype(np.float32))
+
+    variants = [
+        ("baseline_auto", {"QUAN_QCONV_IMPL": "auto"}),
+        ("fold64", {"QUAN_QCONV_IMPL": "auto", "QUAN_QCONV_FOLD_MAX": "64"}),
+        ("fold128", {"QUAN_QCONV_IMPL": "auto", "QUAN_QCONV_FOLD_MAX": "128"}),
+        ("fused1x1", {"QUAN_QCONV_IMPL": "auto", "QUAN_FUSED_1X1": "1"}),
+        ("fused1x1_fold64", {"QUAN_QCONV_IMPL": "auto", "QUAN_QCONV_FOLD_MAX": "64",
+                             "QUAN_FUSED_1X1": "1"}),
+    ]
+    keys = ("QUAN_QCONV_IMPL", "QUAN_QCONV_FOLD_MAX", "QUAN_FUSED_1X1")
+    results = {}
+    for name, env in variants:
+        for k in keys:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        try:
+            dt = timed_loop(pipeline_fn(model, v, img, 15), iters=10)
+            results[name] = round(B / dt, 1)
+            emit(variant=name, img_s=round(B / dt, 1), ms_iter=round(dt * 1e3, 2))
+        except Exception as e:
+            emit(variant=name, error=f"{type(e).__name__}: {e}"[:300])
+
+    # COCO detect headline @640
+    for k in keys:
+        os.environ.pop(k, None)
+    os.environ["QUAN_QCONV_IMPL"] = "auto"
+    best = max((v_ for v_ in results.items()), key=lambda kv: kv[1], default=None)
+    if best and best[0] != "baseline_auto" and results.get("baseline_auto") and \
+            best[1] > results["baseline_auto"] * 1.02:
+        os.environ.update(dict(variants[[n for n, _ in variants].index(best[0])][1]))
+        emit(best_variant=best[0])
+
+    dmodel = DetectionModel.from_yaml("yolo11n-quan.yaml", nc=80, dtype=jnp.bfloat16)
+    dv = dmodel.init(jax.random.PRNGKey(0), imgsz=64)
+    dimg = jnp.asarray(np.random.rand(64, 640, 640, 3).astype(np.float32))
+    try:
+        dt = timed_loop(pipeline_fn(dmodel, dv, dimg, 80), iters=10)
+        emit(coco_640_b64_img_s=round(64 / dt, 1))
+    except Exception as e:
+        emit(coco_error=str(e)[:300])
+
+    # train step @1024 b8
+    from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+
+    Bt = 8
+    cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+    trainer = Trainer(model, cfg, steps_per_epoch=100)
+    state = trainer.init_state()
+    step_fn = trainer.make_train_step()
+    M = 64
+    batch = {
+        "img": jnp.asarray(np.random.rand(Bt, 1024, 1024, 3).astype(np.float32)),
+        "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+        "cls": jnp.zeros((Bt, M), jnp.int32),
+        "mask": jnp.ones((Bt, M), bool),
+    }
+    state, loss, aux = step_fn(state, batch)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, loss, aux = step_fn(state, batch)
+    float(loss)
+    dt = (time.perf_counter() - t0) / 5
+    emit(train_step_b8_1024_img_s=round(Bt / dt, 1), loss=round(float(loss), 2))
+
+
+if __name__ == "__main__":
+    main()
