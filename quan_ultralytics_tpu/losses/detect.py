@@ -86,6 +86,24 @@ def detection_loss(
     Returns (total_loss == sum * batch_size, aux dict), matching the
     reference's ``loss.sum() * batch_size`` (loss.py:501).
     """
+    loss_iou, loss_cls, loss_dfl, assign, ctx = detect_terms(
+        feats, batch, strides, nc, reg_max)
+    B = ctx["B"]
+    total = (hyp.box * loss_iou + hyp.cls * loss_cls + hyp.dfl * loss_dfl) * B
+    aux = {
+        "box": hyp.box * loss_iou,
+        "cls": hyp.cls * loss_cls,
+        "dfl": hyp.dfl * loss_dfl,
+        "num_fg": assign.fg_mask.sum(),
+    }
+    return total, aux
+
+
+def detect_terms(feats, batch, strides, nc, reg_max=16):
+    """Shared detect-loss core (assigner + cls/iou/dfl terms) used by the
+    detect, segment, and pose losses. Returns
+    (loss_iou, loss_cls, loss_dfl, assign, ctx) with ctx carrying the
+    geometry the task-specific terms need."""
     pred_distri, pred_scores = _split_preds(feats, nc, reg_max)
     B, A, _ = pred_scores.shape
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
@@ -94,7 +112,7 @@ def detection_loss(
     imgsz_w = feats[0].shape[2] * strides[0]
     scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
 
-    gt_xyxy = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+    gt_xyxy = xywh2xyxy(batch["bboxes"][..., :4].astype(jnp.float32) * scale)
     mask_gt = batch["mask"] & (gt_xyxy.sum(-1) > 0)
 
     # Decode predictions (grid units).
@@ -130,14 +148,12 @@ def detection_loss(
     dflv = _dfl_loss(pred_distri.reshape(B, A, 4, reg_max), target_ltrb, reg_max)
     loss_dfl = (dflv * weight).sum() / target_scores_sum
 
-    total = (hyp.box * loss_iou + hyp.cls * loss_cls + hyp.dfl * loss_dfl) * B
-    aux = {
-        "box": hyp.box * loss_iou,
-        "cls": hyp.cls * loss_cls,
-        "dfl": hyp.dfl * loss_dfl,
-        "num_fg": fg.sum(),
+    ctx = {
+        "B": B, "A": A, "anchors": anchors, "stride_t": stride_t,
+        "weight": weight, "target_scores_sum": target_scores_sum,
+        "imgsz": (imgsz_h, imgsz_w), "fg": fg,
     }
-    return total, aux
+    return loss_iou, loss_cls, loss_dfl, assign, ctx
 
 
 def _angle_to_quaternion(angles: jnp.ndarray) -> jnp.ndarray:

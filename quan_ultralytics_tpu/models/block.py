@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from quan_ultralytics_tpu.models.conv import Conv, DWConv, QConv2D, IQBN
-from quan_ultralytics_tpu.ops.pooling import qmax_pool
+from quan_ultralytics_tpu.ops.pooling import qmax_pool, qupsample
 
 
 def qconcat(xs, axis: int = -1):
@@ -117,6 +117,33 @@ class C3k2(nn.Module):
                 m = Bottleneck(c, c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype, name=f"m{i}")
             ys.append(m(ys[-1], train))
         return Conv((2 + self.n) * c, self.c2, 1, dtype=self.dtype, name="cv2")(qconcat(ys), train)
+
+
+class Proto(nn.Module):
+    """Mask prototype generator for segmentation (reference block.py:156-174).
+
+    Quaternion adaptation: the reference composes its quaternion Conv with a
+    real ConvTranspose2d, which cannot consume the 5-D quaternion tensors its
+    own Conv emits (broken upstream, like the v10 path). Working TPU design:
+    quaternion convs + nearest upsample (the alternative the reference left
+    in its own comment, block.py:168) + QER extraction to real-valued
+    prototype masks.
+    """
+
+    c1: int
+    c_: int = 256  # protos (total quaternion channels)
+    c2: int = 32   # real-valued mask channels out
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from quan_ultralytics_tpu.models.head import QER
+
+        y = Conv(self.c1, self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = qupsample(y, 2, "nearest")
+        y = Conv(self.c_, self.c_, 3, dtype=self.dtype, name="cv2")(y, train)
+        return QER(self.c_, self.c2, 1, dtype=self.dtype, name="cv3")(y)  # [B, 2H, 2W, c2]
 
 
 class QSPPF(nn.Module):

@@ -172,6 +172,64 @@ class OBB(nn.Module):
         return feats, angles
 
 
+class Segment(nn.Module):
+    """Instance-segmentation head (reference head.py:263-285): Detect + a
+    Proto prototype generator on P3 + per-level mask-coefficient branches
+    cv4 = Conv,Conv,QER -> nm coefficients. Returns
+    ``(feats, mc_levels, proto)`` — proto ``[B, Hp, Wp, nm]`` real-valued,
+    mc per level ``[B, H, W, nm]`` raw."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    nm: int = 32   # mask coefficients
+    npr: int = 256  # proto channels (quaternion)
+    strides: Tuple[int, ...] = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        from quan_ultralytics_tpu.models.block import Proto
+
+        proto = Proto(self.ch[0], self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        c4 = max(self.ch[0] // 4, ((self.nm + 3) // 4) * 4)  # quaternion-divisible
+        mc = []
+        for i, x in enumerate(xs):
+            m = Conv(self.ch[i], c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            m = Conv(c4, c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
+            mc.append(QER(c4, self.nm, 1, dtype=self.dtype, name=f"cv4_{i}_2")(m))
+        feats = Detect(self.nc, self.ch, self.strides, self.reg_max,
+                       dtype=self.dtype, name="detect")(xs, train)
+        return feats, mc, proto
+
+
+class Pose(nn.Module):
+    """Keypoint head (reference head.py:357-392): Detect + per-level cv4 =
+    Conv,Conv,QER -> nk*ndim raw keypoint maps. Returns ``(feats,
+    kpt_levels)``; decoding to pixel space is `decode_pose` /
+    `decode_kpts`."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    kpt_shape: Tuple[int, int] = (17, 3)
+    strides: Tuple[int, ...] = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, ((nk + 3) // 4) * 4)
+        kpts = []
+        for i, x in enumerate(xs):
+            k = Conv(self.ch[i], c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            k = Conv(c4, c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(k, train)
+            kpts.append(QER(c4, nk, 1, dtype=self.dtype, name=f"cv4_{i}_2")(k))
+        feats = Detect(self.nc, self.ch, self.strides, self.reg_max,
+                       dtype=self.dtype, name="detect")(xs, train)
+        return feats, kpts
+
+
 def flatten_levels(feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """[B, H, W, C] per level -> [B, sum(H*W), C]."""
     B = feats[0].shape[0]
@@ -214,6 +272,56 @@ def decode_obb(
     dist = dfl(box_logits, reg_max)
     boxes = dist2rbox(dist, ang, anchors[None]) * stride_t[None]
     return jnp.concatenate([boxes, jax.nn.sigmoid(cls.astype(jnp.float32)), ang], axis=-1)
+
+
+def decode_segment(
+    feats: Sequence[jnp.ndarray],
+    mc: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    reg_max: int = 16,
+) -> jnp.ndarray:
+    """Segment decode (reference head.py:276-285): detect decode with the
+    mask coefficients appended. Returns ``[B, A, 4 + nc + nm]``; combine with
+    the proto via ``masks = sigmoid(mc @ proto)`` after NMS."""
+    det = decode_detect(feats, strides, nc, reg_max)
+    return jnp.concatenate([det, flatten_levels(mc)], axis=-1)
+
+
+def decode_kpts(
+    kpts: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    kpt_shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """Keypoint decode (reference head.py:379-392 kpts_decode):
+    xy = (raw * 2 + (anchor - 0.5)) * stride; visibility sigmoid.
+    Returns ``[B, A, nk, ndim]`` in input-pixel units."""
+    shapes = [(k.shape[1], k.shape[2]) for k in kpts]
+    anchors, stride_t = make_anchors(shapes, strides, 0.5)
+    x = flatten_levels(kpts)  # [B, A, nk*ndim]
+    B, A, _ = x.shape
+    nk, ndim = kpt_shape
+    y = x.reshape(B, A, nk, ndim).astype(jnp.float32)
+    xy = (y[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+    if ndim == 3:
+        return jnp.concatenate([xy, jax.nn.sigmoid(y[..., 2:3])], axis=-1)
+    return xy
+
+
+def decode_pose(
+    feats: Sequence[jnp.ndarray],
+    kpts: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    kpt_shape: Tuple[int, int] = (17, 3),
+    reg_max: int = 16,
+) -> jnp.ndarray:
+    """Pose decode (reference head.py:369-377): detect decode with the
+    decoded keypoints flattened on. Returns ``[B, A, 4 + nc + nk*ndim]``."""
+    det = decode_detect(feats, strides, nc, reg_max)
+    k = decode_kpts(kpts, strides, kpt_shape)
+    B, A = k.shape[:2]
+    return jnp.concatenate([det, k.reshape(B, A, -1)], axis=-1)
 
 
 class Classify(nn.Module):

@@ -54,7 +54,7 @@ _CONV_LIKE = {"Conv", "DWConv", "Bottleneck", "QSPPF", "C2f", "C3", "C3k",
               "C3k2", "QC3k2", "QC2PSA", "QPSA", "Classify"}
 # CSP-style modules that absorb the repeat count as arg index 2.
 _ABSORB_N = {"C2f", "C3", "C3k", "C3k2", "QC3k2", "QC2PSA"}
-_HEADS = {"Detect", "OBB", "HybridDetect"}
+_HEADS = {"Detect", "OBB", "HybridDetect", "Segment", "Pose"}
 
 
 def resolve_model_cfg(model: str) -> Tuple[Dict, str]:
@@ -122,6 +122,9 @@ def parse_model(cfg: Dict, scale: str, nc: Optional[int] = None) -> Tuple[List[L
             margs = []
             stride = in_stride[0]
         elif m in _HEADS:
+            if m == "Segment":
+                # width-scale the proto channels (reference tasks.py:1080)
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             margs = [*args, tuple(in_ch), tuple(in_stride)]
             c2 = 0
             stride = in_stride[0]
@@ -206,6 +209,14 @@ class QUANYOLO(nn.Module):
                 nc, ne, ch, strides = a
                 y = H.OBB(nc, ch, ne, strides, dtype=self.dtype, name=name)(inputs, train)
                 out = y
+            elif m == "Segment":
+                nc, nm, npr, ch, strides = a
+                y = H.Segment(nc, ch, nm, npr, strides, dtype=self.dtype, name=name)(inputs, train)
+                out = y
+            elif m == "Pose":
+                nc, kpt_shape, ch, strides = a
+                y = H.Pose(nc, ch, tuple(kpt_shape), strides, dtype=self.dtype, name=name)(inputs, train)
+                out = y
             elif m == "Classify":
                 y = H.Classify(*a, dtype=self.dtype, name=name)(inputs[0], train)
                 out = y
@@ -242,7 +253,8 @@ class DetectionModel:
         cfg, scale = resolve_model_cfg(model)
         specs, save, nc_ = parse_model(cfg, scale, nc)
         head = specs[-1]
-        task = "obb" if head.module == "OBB" else ("classify" if head.module == "Classify" else "detect")
+        task = {"OBB": "obb", "Classify": "classify", "Segment": "segment",
+                "Pose": "pose"}.get(head.module, "detect")
         strides = () if task == "classify" else head.args[-1]
         module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype,
                           mapping_type=mapping_type, remat=remat)
@@ -260,6 +272,13 @@ class DetectionModel:
         if self.task == "obb":
             feats, angles = out
             return H.decode_obb(feats, angles, self.strides, self.nc, self.reg_max)
+        if self.task == "segment":
+            feats, mc, proto = out
+            return H.decode_segment(feats, mc, self.strides, self.nc, self.reg_max)
+        if self.task == "pose":
+            feats, kpts = out
+            kpt_shape = tuple(self.specs[-1].args[1])
+            return H.decode_pose(feats, kpts, self.strides, self.nc, kpt_shape, self.reg_max)
         return H.decode_detect(out, self.strides, self.nc, self.reg_max)
 
     def info(self, variables=None, imgsz: int = 640, log=print):
