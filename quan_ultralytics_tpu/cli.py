@@ -14,7 +14,12 @@ import sys
 from typing import Any, Dict
 
 MODES = ("train", "val", "predict", "export", "track", "tune")
-TASKS = ("detect", "obb", "classify")
+TASKS = ("detect", "obb", "classify", "segment", "pose")
+DEFAULT_MODELS = {
+    "obb": "yolo11n-obb-quan.yaml",
+    "segment": "yolo11n-seg-quan.yaml",
+    "pose": "yolo11n-pose-quan.yaml",
+}
 
 
 def parse_kv(argv) -> Dict[str, Any]:
@@ -74,7 +79,7 @@ def main(argv=None):
 
     from quan_ultralytics_tpu.engine.model import YOLO
 
-    model_arg = kv.pop("model", "yolo11n-obb-quan.yaml" if task == "obb" else "yolo11n-quan.yaml")
+    model_arg = kv.pop("model", DEFAULT_MODELS.get(task, "yolo11n-quan.yaml"))
     model = YOLO(model_arg)
     if mode in ("train", "val") and "data" not in kv:
         raise SystemExit(f"yolo {mode} requires data=<dataset.yaml>")

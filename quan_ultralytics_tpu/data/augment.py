@@ -125,13 +125,14 @@ def random_perspective(im: np.ndarray, corners: np.ndarray, cls: np.ndarray,
         im = cv2.warpAffine(im, M[:2], dsize=(out_w, out_h), borderValue=(114, 114, 114))
     n = corners.shape[0]
     if n:
-        pts = np.concatenate([corners.reshape(-1, 2), np.ones((n * 4, 1))], axis=1)  # [4n, 3]
+        P = corners.shape[1]  # 4 box corners, or P polygon/keypoint points
+        pts = np.concatenate([corners.reshape(-1, 2), np.ones((n * P, 1))], axis=1)  # [Pn, 3]
         pts = pts @ M.T
         if hyp.perspective:
             pts = pts[:, :2] / pts[:, 2:3]
         else:
             pts = pts[:, :2]
-        new_corners = pts.reshape(n, 4, 2)
+        new_corners = pts.reshape(n, P, 2)
         # candidate filter on the axis-aligned hulls (wh>2px, area ratio, ar<100)
         def hull_wh(cs):
             mn, mx = cs.min(axis=1), cs.max(axis=1)

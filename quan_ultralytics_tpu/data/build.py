@@ -32,13 +32,25 @@ from quan_ultralytics_tpu.data.dataset import YOLODataset
 
 
 def _load_sample_pixels(ds: YOLODataset, i: int, imgsz: int, with_meta: bool = False):
-    """Load image letterboxed to imgsz; labels as pixel-space corners."""
+    """Load image letterboxed to imgsz; labels as pixel-space point sets:
+    detect [n,4,2] box corners; obb [n,4,2] rotated corners; segment
+    [n,SEG_POINTS,2] polygon points; pose [n,4+nk,2] box corners + keypoints
+    (visibility rides in the sample's kpts, see make_sample)."""
+    from quan_ultralytics_tpu.data.dataset import SEG_POINTS
+
     im = ds.load_image(i)
     h0, w0 = im.shape[:2]
     s = ds.samples[i]
     im, r, (dw, dh) = letterbox(im, imgsz)
     if ds.task == "obb":
         corners = s.bboxes.reshape(-1, 4, 2) * [w0, h0]
+    elif ds.task == "segment":
+        corners = s.bboxes.reshape(-1, SEG_POINTS, 2) * [w0, h0]
+    elif ds.task == "pose":
+        box_c = xywh_to_corners(s.bboxes * [w0, h0, w0, h0])
+        kxy = (s.kpts[..., :2] if s.kpts is not None and len(s.kpts)
+               else np.zeros((len(s.bboxes), 17, 2), np.float32)) * [w0, h0]
+        corners = np.concatenate([box_c, kxy], axis=1)
     else:
         corners = xywh_to_corners(s.bboxes * [w0, h0, w0, h0])
     corners = corners * r + [dw, dh]
@@ -80,21 +92,62 @@ def _mosaic4(ds: YOLODataset, indices, imgsz: int, rng: np.random.Generator):
     return canvas, corners.astype(np.float32), cls
 
 
-def _format(im, corners, cls, task: str, imgsz, max_labels: int):
+def _hull_xywh(corners: np.ndarray, W: int, H: int) -> np.ndarray:
+    """Axis-aligned hull of a point set -> clipped normalized xywh [n, 4]."""
+    xyxy = corners_to_xyxy(corners, W, H)
+    return np.stack([
+        (xyxy[:, 0] + xyxy[:, 2]) / 2, (xyxy[:, 1] + xyxy[:, 3]) / 2,
+        xyxy[:, 2] - xyxy[:, 0], xyxy[:, 3] - xyxy[:, 1],
+    ], axis=1) / [W, H, W, H]
+
+
+def _format(im, corners, cls, task: str, imgsz, max_labels: int, vis=None):
     """Pixel corners -> normalized padded label tensors.
 
     imgsz: int (square) or (H, W) — rect batches normalize x by W and y by H
     (the loss de-normalizes per-axis the same way, losses/detect.py:93-97).
     OBB requires square: per-axis normalization would shear rotated boxes.
+
+    segment: corners are [n, SEG_POINTS, 2] polygons — emits hull boxes +
+    'masks' rasterized at proto resolution (imgsz//4, reference
+    downsample_ratio=4, loss.py:560).
+    pose: corners are [n, 4+nk, 2] box corners + keypoints, `vis` [n, nk] —
+    emits boxes + 'keypoints' [M, nk, 3] normalized.
     """
+    import cv2
+
     H, W = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
     boxes_dim = 5 if task == "obb" else 4
     out_boxes = np.zeros((max_labels, boxes_dim), np.float32)
     out_cls = np.zeros(max_labels, np.int32)
     out_mask = np.zeros(max_labels, bool)
+    extra = {}
+    if task == "segment":
+        Hp, Wp = H // 4, W // 4
+        extra["masks"] = np.zeros((max_labels, Hp, Wp), np.float32)
+    elif task == "pose":
+        nk = corners.shape[1] - 4 if corners.size else 17
+        extra["keypoints"] = np.zeros((max_labels, nk, 3), np.float32)
     n = min(corners.shape[0], max_labels)
     if n:
-        if task == "obb":
+        if task == "segment":
+            out_boxes[:n] = _hull_xywh(corners[:n], W, H)
+            scale = np.array([extra["masks"].shape[2] / W,
+                              extra["masks"].shape[1] / H], np.float32)
+            for j in range(n):
+                poly = (corners[j] * scale).astype(np.int32)
+                cv2.fillPoly(extra["masks"][j], [poly], 1.0)
+        elif task == "pose":
+            out_boxes[:n] = _hull_xywh(corners[:n, :4], W, H)
+            kxy = corners[:n, 4:]
+            v = (vis[:n] if vis is not None
+                 else np.ones(kxy.shape[:2], np.float32)).astype(np.float32)
+            inside = ((kxy[..., 0] >= 0) & (kxy[..., 0] < W)
+                      & (kxy[..., 1] >= 0) & (kxy[..., 1] < H))
+            extra["keypoints"][:n, :, 0] = kxy[..., 0] / W
+            extra["keypoints"][:n, :, 1] = kxy[..., 1] / H
+            extra["keypoints"][:n, :, 2] = v * inside
+        elif task == "obb":
             assert H == W, "rect batching is not supported for the OBB task"
             xywhr = corners_to_xywhr(corners[:n])
             xywhr[:, :4] /= H
@@ -113,7 +166,39 @@ def _format(im, corners, cls, task: str, imgsz, max_labels: int):
         "bboxes": out_boxes,
         "cls": out_cls,
         "mask": out_mask,
+        **extra,
     }
+
+
+# COCO-17 left/right keypoint swap under horizontal flip (reference
+# cfg/datasets/coco-pose.yaml flip_idx)
+COCO_FLIP_IDX = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+
+
+def _pose_sample(ds: YOLODataset, idx: int, imgsz, hyp, max_labels, rng, augment):
+    """Pose path: letterbox + HSV + flips (with keypoint left/right swap).
+    Mosaic/perspective drop instances, which would desynchronize the
+    visibility array — restricted like the reference's simpler pose recipes."""
+    im, corners, cls = _load_sample_pixels(ds, idx, imgsz)
+    s = ds.samples[idx]
+    vis = (s.kpts[..., 2].copy() if s.kpts is not None and len(s.kpts)
+           else np.ones((len(cls), corners.shape[1] - 4), np.float32))
+    if augment and hyp:
+        im = random_hsv(im, hyp, rng)
+        h, w = im.shape[:2]
+        if rng.random() < hyp.flipud:
+            im = np.ascontiguousarray(np.flipud(im))
+            if corners.size:
+                corners[..., 1] = h - corners[..., 1]
+        if rng.random() < hyp.fliplr:
+            im = np.ascontiguousarray(np.fliplr(im))
+            if corners.size:
+                corners[..., 0] = w - corners[..., 0]
+                nk = corners.shape[1] - 4
+                if nk == 17:
+                    corners[:, 4:] = corners[:, 4:][:, COCO_FLIP_IDX]
+                    vis = vis[:, COCO_FLIP_IDX]
+    return _format(im, corners, cls, "pose", imgsz, max_labels, vis=vis)
 
 
 def make_sample(ds: YOLODataset, idx: int, imgsz: int, hyp: Optional[AugmentHyp],
@@ -124,9 +209,15 @@ def make_sample(ds: YOLODataset, idx: int, imgsz: int, hyp: Optional[AugmentHyp]
         # mapped back to source-image coordinates (reference ops.scale_boxes,
         # utils/ops.py:92, and obb/val.py pred_to_json patch handling)
         im, corners, cls, meta = _load_sample_pixels(ds, idx, imgsz, with_meta=True)
-        out = _format(im, corners, cls, ds.task, imgsz, max_labels)
+        vis = None
+        if ds.task == "pose":
+            s = ds.samples[idx]
+            vis = s.kpts[..., 2] if s.kpts is not None and len(s.kpts) else None
+        out = _format(im, corners, cls, ds.task, imgsz, max_labels, vis=vis)
         out.update(meta)
         return out
+    if ds.task == "pose":
+        return _pose_sample(ds, idx, imgsz, hyp, max_labels, rng, augment)
     if augment and hyp and rng.random() < hyp.mosaic:
         others = rng.integers(0, len(ds), 3)
         im, corners, cls = _mosaic4(ds, [idx, *others], imgsz, rng)

@@ -42,15 +42,35 @@ def xyxyxyxy2xywhr_np(corners: np.ndarray) -> np.ndarray:
     return out
 
 
+SEG_POINTS = 32  # polygons are resampled to this fixed vertex count
+                 # (reference resample_segments, ops.py:329; fixed-shape here)
+
+
+def resample_polygon(pts: np.ndarray, n: int = SEG_POINTS) -> np.ndarray:
+    """Uniformly resample a closed polygon [k, 2] to exactly n vertices by
+    arc length (reference ops.py:329 resample_segments)."""
+    closed = np.concatenate([pts, pts[:1]], axis=0)
+    seg = np.linalg.norm(np.diff(closed, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = max(cum[-1], 1e-9)
+    t = np.linspace(0.0, total, n, endpoint=False)
+    x = np.interp(t, cum, closed[:, 0])
+    y = np.interp(t, cum, closed[:, 1])
+    return np.stack([x, y], axis=1).astype(np.float32)
+
+
 @dataclass
 class Sample:
     im_file: str
     cls: np.ndarray      # [n]
-    bboxes: np.ndarray   # detect: [n, 4] xywh normalized; obb: [n, 8] corner
-                         # points normalized (converted to pixel-space xywhr
-                         # only at Format time, like reference Format
-                         # return_obb, so the angle is computed in pixels)
+    bboxes: np.ndarray   # detect/pose: [n, 4] xywh normalized; obb: [n, 8]
+                         # corner points normalized (converted to pixel-space
+                         # xywhr only at Format time, like reference Format
+                         # return_obb, so the angle is computed in pixels);
+                         # segment: [n, 2*SEG_POINTS] resampled polygon
+                         # points normalized
     shape: Optional[Tuple[int, int]] = None  # (h, w) original
+    kpts: Optional[np.ndarray] = None        # pose: [n, nk, 3] normalized + vis
 
 
 class YOLODataset:
@@ -124,9 +144,41 @@ class YOLODataset:
         parts[-3] = "labels" if parts[-3] == "images" else parts[-3]
         return Path(*parts).with_suffix(".txt")
 
+    def _parse_rows(self, rows: List[List[float]]) -> tuple:
+        """rows -> (cls, boxes, kpts) per task. YOLO label formats:
+        detect: cls cx cy w h; obb: cls + 8 corner coords
+        (convert_dota_to_yolo_obb); segment: cls + polygon x1 y1 x2 y2 ...
+        (variable length, reference data/utils.py verify_image_label);
+        pose: cls cx cy w h + nk*(2|3) keypoint values."""
+        cls = np.array([r[0] for r in rows], np.int32)
+        kpts = None
+        if self.task == "obb":
+            arr = np.array(rows, np.float32)
+            assert arr.shape[1] == 9, f"OBB labels need 8 coords, got {arr.shape[1] - 1}"
+            boxes = arr[:, 1:9]
+        elif self.task == "segment":
+            polys = [resample_polygon(np.array(r[1:], np.float32).reshape(-1, 2))
+                     for r in rows]
+            boxes = np.stack(polys).reshape(len(rows), -1) if polys else \
+                np.zeros((0, 2 * SEG_POINTS), np.float32)
+        elif self.task == "pose":
+            arr = np.array(rows, np.float32)
+            boxes = arr[:, 1:5]
+            k = arr[:, 5:]
+            ndim = 3 if k.shape[1] % 3 == 0 else 2
+            k = k.reshape(len(rows), -1, ndim)
+            if ndim == 2:  # visibility implicit: labeled == visible
+                k = np.concatenate([k, np.ones((*k.shape[:2], 1), np.float32)], axis=-1)
+            kpts = k
+        else:
+            arr = np.array(rows, np.float32)
+            boxes = arr[:, 1:5]
+        return cls, boxes, kpts
+
     def _load_labels(self) -> List[Sample]:
         files = sorted(p for p in self.img_dir.rglob("*") if p.suffix.lower() in IMG_EXTS)
         samples = []
+        empty_dim = {"obb": 8, "segment": 2 * SEG_POINTS}.get(self.task, 4)
         for f in files:
             lp = self._label_path(f)
             rows = []
@@ -137,17 +189,12 @@ class YOLODataset:
                         if v:
                             rows.append([float(x) for x in v])
             if rows:
-                arr = np.array(rows, np.float32)
-                cls = arr[:, 0].astype(np.int32)
-                if self.task == "obb":
-                    assert arr.shape[1] == 9, f"OBB labels need 8 coords, got {arr.shape[1] - 1}"
-                    boxes = arr[:, 1:9]
-                else:
-                    boxes = arr[:, 1:5]
+                cls, boxes, kpts = self._parse_rows(rows)
             else:
                 cls = np.zeros(0, np.int32)
-                boxes = np.zeros((0, 8 if self.task == "obb" else 4), np.float32)
-            samples.append(Sample(str(f), cls, boxes))
+                boxes = np.zeros((0, empty_dim), np.float32)
+                kpts = np.zeros((0, 17, 3), np.float32) if self.task == "pose" else None
+            samples.append(Sample(str(f), cls, boxes, kpts=kpts))
         return samples
 
     def __len__(self):

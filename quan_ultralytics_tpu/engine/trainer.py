@@ -226,6 +226,17 @@ class Trainer:
         )
         if self.model.task == "obb":
             total, aux = obb_loss(out, batch, self.model.strides, self.model.nc, hyp=self.loss_hyp)
+        elif self.model.task == "segment":
+            from quan_ultralytics_tpu.losses.segpose import segmentation_loss
+
+            total, aux = segmentation_loss(out, batch, self.model.strides,
+                                           self.model.nc, hyp=self.loss_hyp)
+        elif self.model.task == "pose":
+            from quan_ultralytics_tpu.losses.segpose import pose_loss
+
+            kpt_shape = tuple(self.model.specs[-1].args[1])
+            total, aux = pose_loss(out, batch, self.model.strides, self.model.nc,
+                                   kpt_shape=kpt_shape, hyp=self.loss_hyp)
         else:
             total, aux = detection_loss(out, batch, self.model.strides, self.model.nc, hyp=self.loss_hyp)
         return total, (aux, updates["batch_stats"])

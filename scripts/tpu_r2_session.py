@@ -19,6 +19,9 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -39,8 +42,20 @@ def timed_loop(fn_one, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+_RESULTS = open("/tmp/r2_session_results.jsonl", "a", buffering=1)
+
+
 def emit(**kv):
-    print(json.dumps(kv), flush=True)
+    line = json.dumps(kv)
+    print(line, flush=True)
+    _RESULTS.write(line + "\n")
+
+
+_T0 = time.time()
+
+
+def over_budget(seconds):
+    return time.time() - _T0 > seconds
 
 
 def pipeline_fn(model, v, img, nc):
@@ -79,22 +94,28 @@ def main():
 
     variants = [
         ("baseline_auto", {"QUAN_QCONV_IMPL": "auto"}),
+        ("fused1x1", {"QUAN_QCONV_IMPL": "auto", "QUAN_FUSED_1X1": "1"}),
         ("fold64", {"QUAN_QCONV_IMPL": "auto", "QUAN_QCONV_FOLD_MAX": "64"}),
         ("fold128", {"QUAN_QCONV_IMPL": "auto", "QUAN_QCONV_FOLD_MAX": "128"}),
-        ("fused1x1", {"QUAN_QCONV_IMPL": "auto", "QUAN_FUSED_1X1": "1"}),
         ("fused1x1_fold64", {"QUAN_QCONV_IMPL": "auto", "QUAN_QCONV_FOLD_MAX": "64",
                              "QUAN_FUSED_1X1": "1"}),
     ]
     keys = ("QUAN_QCONV_IMPL", "QUAN_QCONV_FOLD_MAX", "QUAN_FUSED_1X1")
     results = {}
+    budget = float(os.environ.get("R2_BUDGET_S", "3600"))
     for name, env in variants:
+        if over_budget(budget * 0.7):
+            emit(skipped=name, reason="section budget")
+            continue
         for k in keys:
             os.environ.pop(k, None)
         os.environ.update(env)
         try:
+            t0 = time.perf_counter()
             dt = timed_loop(pipeline_fn(model, v, img, 15), iters=10)
             results[name] = round(B / dt, 1)
-            emit(variant=name, img_s=round(B / dt, 1), ms_iter=round(dt * 1e3, 2))
+            emit(variant=name, img_s=round(B / dt, 1), ms_iter=round(dt * 1e3, 2),
+                 compile_s=round(time.perf_counter() - t0 - dt * 10, 1))
         except Exception as e:
             emit(variant=name, error=f"{type(e).__name__}: {e}"[:300])
 

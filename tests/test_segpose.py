@@ -122,6 +122,123 @@ def test_pose_loss_finite_and_grads(pose_model):
     assert any(float(jnp.abs(g).max()) > 0 for g in jax.tree_util.tree_leaves(gk))
 
 
+def _make_seg_dataset(root, n_images=8, imgsz=96, nc=2):
+    """Synthetic segment dataset: filled polygons + YOLO polygon labels."""
+    import cv2
+    import yaml
+
+    rng = np.random.RandomState(5)
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(n_images):
+            im = np.full((imgsz, imgsz, 3), 25, np.uint8)
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                cx, cy = rng.uniform(0.3, 0.7, 2) * imgsz
+                r = rng.uniform(0.1, 0.2) * imgsz
+                ang = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+                poly = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1)
+                c = int(rng.randint(0, nc))
+                cv2.fillPoly(im, [poly.astype(np.int32)], [(255, 80, 80), (80, 255, 80)][c])
+                lines.append(" ".join([str(c)] + [f"{v / imgsz:.6f}" for v in poly.reshape(-1)]))
+            cv2.imwrite(str(root / "images" / split / f"im{i}.jpg"), im)
+            (root / "labels" / split / f"im{i}.txt").write_text("\n".join(lines) + "\n")
+    yml = root / "data.yaml"
+    yml.write_text(yaml.dump({"path": str(root), "train": "images/train",
+                              "val": "images/val", "names": {i: f"c{i}" for i in range(nc)}}))
+    return yml
+
+
+def test_segment_data_pipeline_and_training(tmp_path, seg_model):
+    """Polygon labels -> resampled points -> mosaic-capable loader ->
+    rasterized proto-res masks -> a few train steps reduce the loss."""
+    import jax.numpy as jnp
+
+    from quan_ultralytics_tpu.data.build import build_dataloader
+    from quan_ultralytics_tpu.data.dataset import SEG_POINTS, YOLODataset
+    from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+
+    yml = _make_seg_dataset(tmp_path / "segds")
+    ds = YOLODataset(yml, split="train", task="segment")
+    assert ds.samples[0].bboxes.shape[1] == 2 * SEG_POINTS
+    batches = list(build_dataloader(ds, 4, imgsz=64, hyp=None, augment=False,
+                                    max_labels=8, seed=0))
+    b = batches[0]
+    assert b["masks"].shape == (4, 8, 16, 16)
+    got = b["masks"][b["mask"]]
+    assert got.sum() > 0 and set(np.unique(got)) <= {0.0, 1.0}
+
+    m, _ = seg_model
+    cfg = TrainConfig(epochs=2, batch=4, imgsz=64, nbs=4, warmup_epochs=0.0, lr0=0.01)
+    trainer = Trainer(m, cfg, steps_per_epoch=2)
+    state = trainer.init_state()
+    step = trainer.make_train_step()
+    losses = []
+    for epoch in range(3):
+        for b in build_dataloader(ds, 4, imgsz=64, hyp=None, augment=False,
+                                  max_labels=8, seed=epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            state, loss, aux = step(state, b)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_pose_data_pipeline_and_training(tmp_path, pose_model):
+    """Pose labels (box + 17 kpts) -> loader -> keypoints tensor -> a few
+    train steps reduce the loss."""
+    import cv2
+    import jax.numpy as jnp
+    import yaml
+
+    from quan_ultralytics_tpu.data.build import build_dataloader
+    from quan_ultralytics_tpu.data.dataset import YOLODataset
+    from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+
+    root = tmp_path / "poseds"
+    rng = np.random.RandomState(6)
+    imgsz = 96
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(8):
+            im = np.full((imgsz, imgsz, 3), 25, np.uint8)
+            cx, cy, w, h = 0.5, 0.5, 0.5, 0.5
+            cv2.rectangle(im, (24, 24), (72, 72), (200, 100, 50), -1)
+            kp = 0.3 + 0.4 * rng.rand(17, 2)
+            vals = [0, cx, cy, w, h] + [f for xy in kp for f in (xy[0], xy[1], 2.0)]
+            cv2.imwrite(str(root / "images" / split / f"im{i}.jpg"), im)
+            (root / "labels" / split / f"im{i}.txt").write_text(
+                " ".join(str(v) for v in vals) + "\n")
+    yml = root / "data.yaml"
+    yml.write_text(yaml.dump({"path": str(root), "train": "images/train",
+                              "val": "images/val", "names": {0: "person"}}))
+
+    ds = YOLODataset(yml, split="train", task="pose")
+    assert ds.samples[0].kpts.shape == (1, 17, 3)
+    b = next(iter(build_dataloader(ds, 4, imgsz=64, hyp=None, augment=False,
+                                   max_labels=4, seed=0)))
+    assert b["keypoints"].shape == (4, 4, 17, 3)
+    kv = b["keypoints"][b["mask"]]
+    assert (kv[..., 2] > 0).all() and (kv[..., :2] <= 1).all()
+
+    m, _ = pose_model
+    cfg = TrainConfig(epochs=2, batch=4, imgsz=64, nbs=4, warmup_epochs=0.0, lr0=0.01)
+    trainer = Trainer(m, cfg, steps_per_epoch=2)
+    state = trainer.init_state()
+    step = trainer.make_train_step()
+    losses = []
+    for epoch in range(3):
+        for b in build_dataloader(ds, 4, imgsz=64, hyp=None, augment=False,
+                                  max_labels=4, seed=epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            state, loss, aux = step(state, b)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
 def test_pose_loss_decreases_when_kpts_match(pose_model):
     """Sanity: predicting exactly the GT keypoints gives a lower location
     loss than random predictions — checked through the loss function by
