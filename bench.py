@@ -47,7 +47,11 @@ def main():
     iters = 10
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
-    img = jnp.asarray(np.random.rand(batch, imgsz, imgsz, 3).astype(np.float32))
+    # generate the input ON DEVICE: a [96,1024,1024,3] f32 host transfer is
+    # 1.2 GB through the TCP relay and can dominate (or wedge) the session
+    img = jax.jit(lambda k: jax.random.uniform(k, (batch, imgsz, imgsz, 3), jnp.float32))(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready(img)
 
     @jax.jit
     def run(variables, img):

@@ -22,16 +22,20 @@ from quan_ultralytics_tpu.ops.boxes import non_max_suppression, regularize_rboxe
 
 @dataclass
 class Results:
-    """Minimal Results analog (reference engine/results.py:187, OBB :1596)."""
+    """Minimal Results analog (reference engine/results.py:187, OBB :1596,
+    Masks :1305, Keypoints :1417)."""
 
     orig_shape: tuple
-    boxes: np.ndarray      # detect: [n, 6] xyxy+conf+cls; obb: [n, 7] xywhr+conf+cls
+    boxes: np.ndarray      # detect/segment/pose: [n, 6] xyxy+conf+cls;
+                           # obb: [n, 7] xywhr+conf+cls
     names: Optional[List[str]] = None
     task: str = "detect"
+    masks: Optional[np.ndarray] = None      # segment: [n, h0, w0] bool
+    keypoints: Optional[np.ndarray] = None  # pose: [n, nk, 3] orig-px + vis
 
     @property
     def xyxy(self):
-        return self.boxes[:, :4] if self.task == "detect" else None
+        return self.boxes[:, :4] if self.task != "obb" else None
 
     @property
     def xywhr(self):
@@ -60,6 +64,15 @@ class Predictor:
         self.max_det = max_det
         self.names = names
         rotated = model.task == "obb"
+        # per-anchor payload columns riding through NMS (reference ops.py nm=)
+        if model.task == "segment":
+            self.extra_dim = model.specs[-1].args[1]  # nm
+        elif model.task == "pose":
+            ks = model.specs[-1].args[1]
+            self.kpt_shape = (int(ks[0]), int(ks[1]))
+            self.extra_dim = self.kpt_shape[0] * self.kpt_shape[1]
+        else:
+            self.extra_dim = 0
 
         @jax.jit
         def infer(variables, img):
@@ -68,8 +81,11 @@ class Predictor:
                 img = img.astype(jnp.float32) / 255.0
             out = model.module.apply(variables, img, train=False)
             pred = model.decode(out)
-            return non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
-                                       max_det=self.max_det, nc=model.nc, rotated=rotated)
+            det, ok = non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
+                                          max_det=self.max_det, nc=model.nc, rotated=rotated,
+                                          extra_dim=self.extra_dim)
+            proto = out[2] if model.task == "segment" else jnp.zeros((img.shape[0], 1, 1, 1))
+            return det, ok, proto
 
         self._infer = infer
 
@@ -95,13 +111,17 @@ class Predictor:
                 batch.append(lb.astype(np.float32) / 255.0)
             meta.append((h0, w0, r, dw, dh))
         x = jnp.asarray(np.stack(batch))
-        det, ok = self._infer(variables, x)
-        det, ok = np.asarray(det), np.asarray(ok)
+        det, ok, proto = self._infer(variables, x)
+        det, ok, proto = np.asarray(det), np.asarray(ok), np.asarray(proto)
 
         results = []
-        rotated = self.model.task == "obb"
+        task = self.model.task
+        rotated = task == "obb"
         for b, (h0, w0, r, dw, dh) in enumerate(meta):
             d = det[b][ok[b]]
+            extras = d[:, d.shape[1] - self.extra_dim:] if self.extra_dim else None
+            if self.extra_dim:
+                d = d[:, : d.shape[1] - self.extra_dim]
             if rotated:
                 boxes = d.copy()  # xywhr, conf, cls
                 boxes[:, 0] = (boxes[:, 0] - dw) / r
@@ -114,5 +134,43 @@ class Predictor:
                 boxes = d.copy()  # xyxy, conf, cls
                 boxes[:, [0, 2]] = np.clip((boxes[:, [0, 2]] - dw) / r, 0, w0)
                 boxes[:, [1, 3]] = np.clip((boxes[:, [1, 3]] - dh) / r, 0, h0)
-            results.append(Results((h0, w0), boxes, self.names, self.model.task))
+            masks = keypoints = None
+            if task == "segment" and extras is not None:
+                masks = self._process_masks(extras, proto[b], boxes, h0, w0, r, dw, dh)
+            elif task == "pose" and extras is not None:
+                nk, ndim = self.kpt_shape
+                keypoints = extras.reshape(-1, nk, ndim).copy()
+                keypoints[..., 0] = np.clip((keypoints[..., 0] - dw) / r, 0, w0)
+                keypoints[..., 1] = np.clip((keypoints[..., 1] - dh) / r, 0, h0)
+            results.append(Results((h0, w0), boxes, self.names, task,
+                                   masks=masks, keypoints=keypoints))
         return results
+
+    def _process_masks(self, mc, proto, boxes_orig, h0, w0, r, dw, dh):
+        """Mask assembly (reference ops.process_mask + scale_masks): sigmoid
+        (mc @ proto) at proto resolution, crop to each box, un-letterbox, and
+        resize to the original image; boolean at 0.5."""
+        import cv2
+
+        if len(mc) == 0:
+            return np.zeros((0, h0, w0), bool)
+        Hp, Wp = proto.shape[:2]
+        m = 1.0 / (1.0 + np.exp(-(mc @ proto.reshape(-1, proto.shape[-1]).T)))
+        m = m.reshape(-1, Hp, Wp)
+        # the original image occupies [dh : dh + h0*r, dw : dw + w0*r] of the
+        # letterbox; proto is a (imgsz/stride_p) scaled view of the letterbox
+        sy, sx = Hp / (self.imgsz), Wp / (self.imgsz)
+        y0, y1 = int(round(dh * sy)), int(round((dh + h0 * r) * sy))
+        x0, x1 = int(round(dw * sx)), int(round((dw + w0 * r) * sx))
+        out = np.zeros((len(m), h0, w0), bool)
+        for i, mk in enumerate(m):
+            crop = mk[max(y0, 0): max(y1, 1), max(x0, 0): max(x1, 1)]
+            full = cv2.resize(crop, (w0, h0), interpolation=cv2.INTER_LINEAR)
+            # crop to the predicted box (reference crop_mask)
+            bx = boxes_orig[i]
+            keep = np.zeros((h0, w0), bool)
+            xa, ya, xb, yb = (int(max(bx[0], 0)), int(max(bx[1], 0)),
+                              int(min(bx[2], w0)), int(min(bx[3], h0)))
+            keep[ya:yb, xa:xb] = True
+            out[i] = (full > 0.5) & keep
+        return out

@@ -278,15 +278,20 @@ def non_max_suppression(
     max_nms: int = 30000,
     max_wh: float = 7680.0,
     agnostic: bool = False,
+    extra_dim: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape batched NMS (reference ops.py:181-333, best-class-only path).
 
     Args:
-      pred: ``[B, A, 4 + nc (+1 angle)]`` decoded predictions — boxes in
-        xywh (axis-aligned) or xywhr (rotated) pixel units, then class scores.
+      pred: ``[B, A, 4 + nc (+1 angle) (+extra_dim)]`` decoded predictions —
+        boxes in xywh (axis-aligned) or xywhr (rotated) pixel units, then
+        class scores. extra_dim trailing per-anchor payload columns (mask
+        coefficients / decoded keypoints) ride through unchanged (reference
+        ops.py:181 nm= handling).
     Returns:
-      detections ``[B, max_det, 6 (+1)]`` = (xyxy or xywhr, conf, cls) with
-      zero rows past the valid count, and valid ``[B, max_det]`` bool mask.
+      detections ``[B, max_det, 6 (+1) (+extra_dim)]`` = (xyxy or xywhr,
+      conf, cls, extras) with zero rows past the valid count, and valid
+      ``[B, max_det]`` bool mask.
     """
     B, A, _ = pred.shape
     n_keep = min(max_nms, A, 2048)  # candidate pool per image
@@ -304,8 +309,9 @@ def non_max_suppression(
         cls_t = cls_id[idx]
         valid_t = score_top > conf_thres
         offset = jnp.where(agnostic, 0.0, cls_t.astype(jnp.float32) * max_wh)
+        extras_t = p[idx][:, p.shape[-1] - extra_dim:] if extra_dim else None
         if rotated:
-            angle = p[idx][:, -1:]
+            angle = p[idx][:, 4 + nc : 4 + nc + 1]
             nms_boxes = jnp.concatenate([boxes_t[:, :2] + offset[:, None], boxes_t[:, 2:4], angle], axis=-1)
             keep = nms_rotated(nms_boxes, score_top, iou_thres)
             out_boxes = jnp.concatenate([boxes_t[:, :4], angle], axis=-1)
@@ -317,9 +323,10 @@ def non_max_suppression(
         final_score = jnp.where(keep, score_top, 0.0)
         k = min(max_det, n_keep)
         sc, order = jax.lax.top_k(final_score, k)
-        det = jnp.concatenate(
-            [out_boxes[order], sc[:, None], cls_t[order].astype(jnp.float32)[:, None]], axis=-1
-        )
+        cols = [out_boxes[order], sc[:, None], cls_t[order].astype(jnp.float32)[:, None]]
+        if extras_t is not None:
+            cols.append(extras_t[order])
+        det = jnp.concatenate(cols, axis=-1)
         ok = sc > conf_thres
         det = jnp.where(ok[:, None], det, 0.0)
         if k < max_det:  # pad to the fixed max_det rows

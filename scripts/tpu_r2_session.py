@@ -90,7 +90,11 @@ def main():
 
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     v = model.init(jax.random.PRNGKey(0), imgsz=64)
-    img = jnp.asarray(np.random.rand(B, 1024, 1024, 3).astype(np.float32))
+    # device-generated input: avoids a 1.2 GB host->device transfer over the relay
+    img = jax.jit(lambda k: jax.random.uniform(k, (B, 1024, 1024, 3), jnp.float32))(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready(img)
+    emit(input_ready=True)
 
     variants = [
         ("baseline_auto", {"QUAN_QCONV_IMPL": "auto"}),
@@ -131,7 +135,9 @@ def main():
 
     dmodel = DetectionModel.from_yaml("yolo11n-quan.yaml", nc=80, dtype=jnp.bfloat16)
     dv = dmodel.init(jax.random.PRNGKey(0), imgsz=64)
-    dimg = jnp.asarray(np.random.rand(64, 640, 640, 3).astype(np.float32))
+    dimg = jax.jit(lambda k: jax.random.uniform(k, (64, 640, 640, 3), jnp.float32))(
+        jax.random.PRNGKey(2))
+    jax.block_until_ready(dimg)
     try:
         dt = timed_loop(pipeline_fn(dmodel, dv, dimg, 80), iters=10)
         emit(coco_640_b64_img_s=round(64 / dt, 1))
@@ -148,7 +154,8 @@ def main():
     step_fn = trainer.make_train_step()
     M = 64
     batch = {
-        "img": jnp.asarray(np.random.rand(Bt, 1024, 1024, 3).astype(np.float32)),
+        "img": jax.jit(lambda k: jax.random.uniform(k, (Bt, 1024, 1024, 3), jnp.float32))(
+            jax.random.PRNGKey(3)),
         "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
         "cls": jnp.zeros((Bt, M), jnp.int32),
         "mask": jnp.ones((Bt, M), bool),

@@ -239,6 +239,33 @@ def test_pose_data_pipeline_and_training(tmp_path, pose_model):
     assert losses[-1] < losses[0], losses
 
 
+def test_segment_predictor(seg_model):
+    """Predict path: NMS carries mask coefficients, Results.masks assembled
+    at original resolution (reference process_mask + scale_masks)."""
+    from quan_ultralytics_tpu.engine.predictor import Predictor
+
+    m, v = seg_model
+    pred = Predictor(m, imgsz=64, conf=0.01)
+    im = (np.random.RandomState(7).rand(80, 100, 3) * 255).astype(np.uint8)
+    res = pred(v, im)[0]
+    assert res.task == "segment"
+    assert res.boxes.shape[1] == 6
+    assert res.masks is not None and res.masks.shape[1:] == (80, 100)
+    assert res.masks.dtype == bool and len(res.masks) == len(res)
+
+
+def test_pose_predictor(pose_model):
+    from quan_ultralytics_tpu.engine.predictor import Predictor
+
+    m, v = pose_model
+    pred = Predictor(m, imgsz=64, conf=0.01)
+    im = (np.random.RandomState(8).rand(64, 64, 3) * 255).astype(np.uint8)
+    res = pred(v, im)[0]
+    assert res.task == "pose"
+    assert res.keypoints is not None and res.keypoints.shape[1:] == (17, 3)
+    assert (res.keypoints[..., 0] <= 64).all() and (res.keypoints[..., 1] <= 64).all()
+
+
 def test_pose_loss_decreases_when_kpts_match(pose_model):
     """Sanity: predicting exactly the GT keypoints gives a lower location
     loss than random predictions — checked through the loss function by
