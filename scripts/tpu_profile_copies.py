@@ -18,6 +18,8 @@ import time
 from collections import defaultdict
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 
@@ -68,10 +70,14 @@ def main():
 
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     v = model.init(jax.random.PRNGKey(0), imgsz=64)
-    img = jnp.asarray(np.random.rand(B, imgsz, imgsz, 3).astype(np.float32))
+    # device-generated input + explicit jit args: closed-over arrays embed as
+    # HLO constants and blow the remote-compile request size limit (HTTP 413)
+    img = jax.jit(lambda k: jax.random.uniform(k, (B, imgsz, imgsz, 3), jnp.float32))(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready(img)
 
     @jax.jit
-    def run():
+    def run(v, img):
         def body(i, acc):
             pred = model.decode(model.module.apply(v, img + acc * 1e-12, train=False))
             det, ok = non_max_suppression(pred, nc=15, rotated=True)
@@ -79,17 +85,17 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     t0 = time.perf_counter()
-    float(run())
+    float(run(v, img))
     print(json.dumps({"compile_warm_s": round(time.perf_counter() - t0, 1)}), flush=True)
     t0 = time.perf_counter()
-    float(run())
+    float(run(v, img))
     per_iter = (time.perf_counter() - t0) / iters
     print(json.dumps({"img_s": round(B / per_iter, 1), "ms_iter": round(per_iter * 1e3, 2)}),
           flush=True)
 
     logdir = "/tmp/qtrace"
     jax.profiler.start_trace(logdir)
-    float(run())
+    float(run(v, img))
     jax.profiler.stop_trace()
 
     by_cat, by_op = parse_trace(logdir)

@@ -26,19 +26,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def timed_loop(fn_one, iters=10):
+def timed_loop(fn_one, args=(), iters=10):
+    """fn_one(acc, *args) -> scalar. Big arrays MUST come through `args`:
+    closed-over concrete arrays embed as HLO constants, and the axon
+    remote-compile endpoint rejects oversized request bodies (HTTP 413 -
+    measured with a 400 MB closed-over batch)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run():
+    def run(*a):
         def body(i, acc):
-            return fn_one(acc)
+            return fn_one(acc, *a)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    float(run())  # compile + warmup
+    float(run(*args))  # compile + warmup
     t0 = time.perf_counter()
-    float(run())
+    float(run(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -58,10 +62,10 @@ def over_budget(seconds):
     return time.time() - _T0 > seconds
 
 
-def pipeline_fn(model, v, img, nc):
+def pipeline_fn(model, nc):
     from quan_ultralytics_tpu.ops.boxes import non_max_suppression
 
-    def one(acc):
+    def one(acc, v, img):
         pred = model.decode(model.module.apply(v, img + acc * 1e-12, train=False))
         det, ok = non_max_suppression(pred, nc=nc, rotated=(model.task == "obb"))
         return det[0, 0, 0].astype("float32")
@@ -83,7 +87,8 @@ def main():
     N = 4096
     x = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
     y = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
-    dt = timed_loop(lambda acc: ((x + acc.astype(jnp.bfloat16) * 1e-12) @ y)[0, 0].astype(jnp.float32), iters=50)
+    dt = timed_loop(lambda acc, x, y: ((x + acc.astype(jnp.bfloat16) * 1e-12) @ y)[0, 0].astype(jnp.float32),
+                    args=(x, y), iters=50)
     emit(matmul4096_tflops=round(2 * N**3 / dt / 1e12, 1))
 
     from quan_ultralytics_tpu.models.tasks import DetectionModel
@@ -116,7 +121,7 @@ def main():
         os.environ.update(env)
         try:
             t0 = time.perf_counter()
-            dt = timed_loop(pipeline_fn(model, v, img, 15), iters=10)
+            dt = timed_loop(pipeline_fn(model, 15), args=(v, img), iters=10)
             results[name] = round(B / dt, 1)
             emit(variant=name, img_s=round(B / dt, 1), ms_iter=round(dt * 1e3, 2),
                  compile_s=round(time.perf_counter() - t0 - dt * 10, 1))
@@ -139,7 +144,7 @@ def main():
         jax.random.PRNGKey(2))
     jax.block_until_ready(dimg)
     try:
-        dt = timed_loop(pipeline_fn(dmodel, dv, dimg, 80), iters=10)
+        dt = timed_loop(pipeline_fn(dmodel, 80), args=(dv, dimg), iters=10)
         emit(coco_640_b64_img_s=round(64 / dt, 1))
     except Exception as e:
         emit(coco_error=str(e)[:300])

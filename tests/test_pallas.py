@@ -10,31 +10,10 @@ from quan_ultralytics_tpu.ops.pallas.qconv_fused import fold_iqbn
 
 
 def _fused_interpret(x, w, scale, shift, apply_silu=True):
-    """Run the kernel in interpreter mode (no TPU needed)."""
-    import functools
-    from jax.experimental import pallas as pl
-    from quan_ultralytics_tpu.ops.pallas import qconv_fused as qf
+    """Run the kernel (interpreter mode auto-selected on CPU)."""
+    from quan_ultralytics_tpu.ops.pallas.qconv_fused import qconv1x1_fused
 
-    B, H, W, Q, Ci = x.shape
-    Co = w.shape[-1]
-    P = B * H * W
-    block_p, block_o = 64, Co
-    P_pad = -(-P // block_p) * block_p
-    xf = jnp.pad(x.reshape(P, Q, Ci), ((0, P_pad - P), (0, 0), (0, 0)))
-    out = pl.pallas_call(
-        functools.partial(qf._kernel, apply_affine=True, apply_silu=apply_silu),
-        out_shape=jax.ShapeDtypeStruct((P_pad, 4, Co), x.dtype),
-        grid=(P_pad // block_p, 1),
-        in_specs=[
-            pl.BlockSpec((block_p, 4, Ci), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((4, Ci, Co), lambda i, j: (0, 0, 0)),
-            pl.BlockSpec((4, Co), lambda i, j: (0, 0)),
-            pl.BlockSpec((4, Co), lambda i, j: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_p, 4, Co), lambda i, j: (i, 0, 0)),
-        interpret=True,
-    )(xf, w.reshape(4, Ci, Co).astype(x.dtype), scale, shift)
-    return out[:P].reshape(B, H, W, 4, Co)
+    return qconv1x1_fused(x, w, scale, shift, block_p=64, apply_silu=apply_silu)
 
 
 def test_conv_block_fused_dispatch_matches(monkeypatch):
