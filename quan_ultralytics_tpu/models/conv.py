@@ -121,6 +121,13 @@ class QConv2D(nn.Module):
             return w, b
         first = self.c1 == 3
         packed_first = first and self.stem_mode == "phase_out"
+        if first:
+            # run the RGB->quaternion mapping in the compute dtype: it is
+            # pure elementwise math at FULL input resolution, and f32 there
+            # costs ~10 ms/iter of HBM traffic @1024 b16 (profiled). The
+            # reference's AMP autocast runs the same mapping in fp16.
+            in_dtype = self.dtype or x.dtype
+            x = x.astype(in_dtype)
         if packed_first:
             # mapping + r=4 space-to-depth fused: the narrow 1024-grid input
             # never materializes (see ops/stem.py)

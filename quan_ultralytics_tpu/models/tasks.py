@@ -256,8 +256,11 @@ class DetectionModel:
         task = {"OBB": "obb", "Classify": "classify", "Segment": "segment",
                 "Pose": "pose"}.get(head.module, "detect")
         strides = () if task == "classify" else head.args[-1]
+        import os
+
         module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype,
-                          mapping_type=mapping_type, remat=remat)
+                          mapping_type=mapping_type, remat=remat,
+                          stem_s2d=os.environ.get("QUAN_STEM_S2D", "1") != "0")
         return cls(cfg, scale, nc_, task, module, specs, strides, mapping_type=mapping_type)
 
     def init(self, rng, imgsz: int = 64):

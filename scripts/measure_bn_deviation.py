@@ -18,6 +18,10 @@ Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 """
 
 import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -57,26 +61,32 @@ def main():
         sA, loss, _ = step_fn(sA, b)
         lossesA.append(float(loss))
 
-    # ---- variant B: per-device stats (reference per-GPU BN semantics)
-    def group_loss(params, stats, gbatch):
-        # gbatch: one group's [1, ...] tensors; stats computed inside = that
-        # group's own batch stats (what each GPU sees)
-        return trainer.loss_fn(params, stats, gbatch)
+    # ---- variant B: per-device BN statistics, everything else identical.
+    # The model forward runs per single-image group (each group normalizes
+    # with ITS OWN batch stats - exactly per-GPU BN), the outputs are merged
+    # and ONE global loss is computed, so the ONLY difference vs variant A is
+    # which statistics the IQBN layers normalize with.
+    from quan_ultralytics_tpu.losses.detect import obb_loss
+
+    def loss_pergroup_bn(params, stats, batch):
+        def fwd(gimg):
+            return model.module.apply(
+                {"params": params, "batch_stats": stats}, gimg[None],
+                train=True, mutable=["batch_stats"])
+
+        out, upds = jax.vmap(fwd)(batch["img"].astype(jnp.float32))
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((a.shape[0],) + a.shape[2:]), out)
+        total, aux = obb_loss(out, batch, model.strides, model.nc,
+                              hyp=trainer.loss_hyp)
+        new_stats = jax.tree_util.tree_map(
+            lambda s: s.mean(0), upds["batch_stats"])  # DDP buffer average
+        return total, (aux, new_stats)
 
     @jax.jit
     def stepB(state, batch):
-        def per_group(gimg, gbox, gcls, gmask):
-            gb = {"img": gimg[None], "bboxes": gbox[None], "cls": gcls[None],
-                  "mask": gmask[None]}
-            (loss, (aux, new_stats)), grads = jax.value_and_grad(
-                group_loss, has_aux=True)(state.params, state.batch_stats, gb)
-            return loss, grads, new_stats
-
-        losses, grads, stats = jax.vmap(per_group)(
-            batch["img"], batch["bboxes"], batch["cls"], batch["mask"])
-        loss = losses.mean()
-        grads = jax.tree_util.tree_map(lambda g: g.mean(0), grads)     # DDP all-reduce mean
-        new_stats = jax.tree_util.tree_map(lambda s: s.mean(0), stats)  # buffer average
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_pergroup_bn, has_aux=True)(state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         from quan_ultralytics_tpu.engine.trainer import ema_update
