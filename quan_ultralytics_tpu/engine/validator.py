@@ -34,15 +34,26 @@ class Validator:
         self.iou = iou
         self.max_det = max_det
         rotated = model.task == "obb"
+        if model.task == "segment":
+            self.extra_dim = model.specs[-1].args[1]  # nm
+        elif model.task == "pose":
+            ks = model.specs[-1].args[1]
+            self.kpt_shape = (int(ks[0]), int(ks[1]))
+            self.extra_dim = self.kpt_shape[0] * self.kpt_shape[1]
+        else:
+            self.extra_dim = 0
 
         @jax.jit
         def infer(variables, img):
             out = model.module.apply(variables, img, train=False)
             pred = model.decode(out)
-            return non_max_suppression(
+            det, ok = non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou,
                 max_det=self.max_det, nc=model.nc, rotated=rotated,
+                extra_dim=self.extra_dim,
             )
+            proto = out[2] if model.task == "segment" else jnp.zeros((img.shape[0], 1, 1, 1))
+            return det, ok, proto
 
         self._infer = infer
 
@@ -60,7 +71,11 @@ class Validator:
           pred_to_json/eval_json via engine/dota_eval.DOTASubmission).
         """
         rotated = self.model.task == "obb"
+        task = self.model.task
         metrics = DetMetrics(nc=self.model.nc, rotated=rotated)
+        # second metric head: mask mAP (segment) / OKS mAP (pose), reference
+        # SegmentMetrics/PoseMetrics (utils/metrics.py)
+        metrics2 = DetMetrics(nc=self.model.nc) if task in ("segment", "pose") else None
         json_dets = [] if save_json else None
         submission = None
         if save_submission:
@@ -73,13 +88,19 @@ class Validator:
                                       max_labels=max_labels, augment=False,
                                       shuffle=False, drop_last=False, with_meta=True,
                                       rect=rect):
-            det, ok = self._infer(variables, jnp.asarray(batch["img"]))
-            det, ok = np.asarray(det), np.asarray(ok)
+            det, ok, proto = self._infer(variables, jnp.asarray(batch["img"]))
+            det, ok, proto = np.asarray(det), np.asarray(ok), np.asarray(proto)
             Hb, Wb = batch["img"].shape[1:3]  # == (imgsz, imgsz) unless rect
             # the tail batch pads by repeating indices; don't double-count
             n_real = len(set(batch["im_files"]))
             for b in range(min(det.shape[0], n_real)):
                 keep = ok[b]
+                extras = None
+                if self.extra_dim:
+                    extras = det[b, keep, det.shape[2] - self.extra_dim:]
+                    det_b = det[:, :, : det.shape[2] - self.extra_dim]
+                else:
+                    det_b = det
                 ratio_pad = batch["ratio_pad"][b]  # (r, dw, dh)
                 ori_shape = batch["ori_shape"][b]  # (h0, w0)
                 if rotated:
@@ -91,14 +112,48 @@ class Validator:
                     gt_boxes = gb
                     src_boxes = scale_rboxes(pred_boxes, ratio_pad)
                 else:
-                    pred_boxes = det[b, keep, :4]          # xyxy letterbox px
-                    conf, cls = det[b, keep, 4], det[b, keep, 5]
+                    pred_boxes = det_b[b, keep, :4]        # xyxy letterbox px
+                    conf, cls = det_b[b, keep, 4], det_b[b, keep, 5]
                     gmask = batch["mask"][b]
                     gb = batch["bboxes"][b][gmask] * [Wb, Hb, Wb, Hb]
                     gt_boxes = np.asarray(xywh2xyxy(jnp.asarray(gb)))
                     src_boxes = scale_boxes(pred_boxes, ratio_pad, ori_shape)
                 gt_cls = batch["cls"][b][gmask].astype(np.float32)
                 metrics.update(pred_boxes, conf, cls.astype(np.float32), gt_boxes, gt_cls)
+                if metrics2 is not None and task == "segment":
+                    # mask mAP at proto resolution (reference segment/val.py
+                    # _process_batch(masks=True) with downsampled GT masks)
+                    from quan_ultralytics_tpu.utils.metrics import mask_iou_np
+
+                    pb = proto[b]                              # [Hp, Wp, nm]
+                    Hp, Wp = pb.shape[:2]
+                    pm = 1.0 / (1.0 + np.exp(-(extras @ pb.reshape(-1, pb.shape[-1]).T)))
+                    pm = pm.reshape(-1, Hp, Wp) > 0.5
+                    # crop each pred mask to its box (proto scale)
+                    sx, sy = Wp / Wb, Hp / Hb
+                    yy = np.arange(Hp)[None, :, None]
+                    xx = np.arange(Wp)[None, None, :]
+                    bx = pred_boxes
+                    inside = ((xx >= bx[:, 0, None, None] * sx) & (xx < bx[:, 2, None, None] * sx)
+                              & (yy >= bx[:, 1, None, None] * sy) & (yy < bx[:, 3, None, None] * sy))
+                    pm = pm & inside
+                    gtm = batch["masks"][b][gmask] > 0.5
+                    iou_m = mask_iou_np(gtm, pm) if len(gtm) and len(pm) else None
+                    metrics2.update(pred_boxes, conf, cls.astype(np.float32),
+                                    gt_boxes, gt_cls, iou=iou_m)
+                elif metrics2 is not None and task == "pose":
+                    from quan_ultralytics_tpu.utils.metrics import kpt_oks_np
+
+                    nk, ndim = self.kpt_shape
+                    pk = extras.reshape(-1, nk, ndim)
+                    gk = batch["keypoints"][b][gmask].astype(np.float32).copy()
+                    gk[..., 0] *= Wb
+                    gk[..., 1] *= Hb
+                    area = np.maximum((gt_boxes[:, 2] - gt_boxes[:, 0])
+                                      * (gt_boxes[:, 3] - gt_boxes[:, 1]), 1.0) * 0.53
+                    oks = kpt_oks_np(gk, area, pk) if len(gk) and len(pk) else None
+                    metrics2.update(pred_boxes, conf, cls.astype(np.float32),
+                                    gt_boxes, gt_cls, iou=oks)
                 stem = Path(batch["im_files"][b]).stem
                 if submission is not None:
                     submission.add_patch(stem, src_boxes, conf, cls)
@@ -126,4 +181,9 @@ class Validator:
             Path(save_json).write_text(_json.dumps(json_dets))
         if submission is not None:
             submission.write(save_submission)
-        return metrics.compute()
+        out = metrics.compute()
+        if metrics2 is not None:
+            suffix = "(M)" if task == "segment" else "(P)"
+            out.update({f"{k}{suffix}": v for k, v in metrics2.compute().items()
+                        if k.startswith("mAP")})
+        return out

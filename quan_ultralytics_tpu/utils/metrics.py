@@ -53,6 +53,36 @@ def _box_iou_np(b1: np.ndarray, b2: np.ndarray, eps: float = 1e-7) -> np.ndarray
 
 IOUV = np.linspace(0.5, 0.95, 10)
 
+# COCO keypoint OKS sigmas (reference utils/metrics.py OKS_SIGMA)
+OKS_SIGMA = np.array(
+    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,
+     1.07, 1.07, 0.87, 0.87, 0.89, 0.89], np.float32) / 10.0
+
+
+def mask_iou_np(gt_masks: np.ndarray, pred_masks: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Binary mask IoU [N, H, W] x [M, H, W] -> [N, M] (reference
+    metrics.py mask_iou, flattened matmul form)."""
+    g = gt_masks.reshape(gt_masks.shape[0], -1).astype(np.float32)
+    p = pred_masks.reshape(pred_masks.shape[0], -1).astype(np.float32)
+    inter = g @ p.T
+    union = g.sum(1)[:, None] + p.sum(1)[None, :] - inter
+    return inter / (union + eps)
+
+
+def kpt_oks_np(gt_kpts: np.ndarray, gt_area: np.ndarray, pred_kpts: np.ndarray,
+               sigmas: Optional[np.ndarray] = None, eps: float = 1e-7) -> np.ndarray:
+    """Object Keypoint Similarity [N_gt, nk, 3] x [M_pred, nk, >=2] -> [N, M]
+    (reference metrics.py kpt_iou): per visible keypoint
+    exp(-d^2 / (2 * area * sigma^2 * 2)), averaged over visible kpts."""
+    nk = gt_kpts.shape[1]
+    s = sigmas if sigmas is not None else (
+        OKS_SIGMA if nk == 17 else np.full(nk, 1.0 / nk, np.float32))
+    d2 = ((gt_kpts[:, None, :, :2] - pred_kpts[None, :, :, :2]) ** 2).sum(-1)  # [N,M,nk]
+    vis = (gt_kpts[:, :, 2] > 0)[:, None, :]  # [N,1,nk]
+    e = d2 / (2.0 * (2.0 * s[None, None, :]) ** 2 * (gt_area[:, None, None] + eps))
+    oks = (np.exp(-e) * vis).sum(-1) / np.maximum(vis.sum(-1), 1)
+    return oks
+
 
 def match_predictions(pred_cls: np.ndarray, gt_cls: np.ndarray, iou: np.ndarray) -> np.ndarray:
     """Reference BaseValidator.match_predictions: for each IoU threshold,
@@ -124,8 +154,13 @@ class DetMetrics:
     _target_cls: List[np.ndarray] = field(default_factory=list)
 
     def update(self, pred_boxes: np.ndarray, pred_conf: np.ndarray, pred_cls: np.ndarray,
-               gt_boxes: np.ndarray, gt_cls: np.ndarray):
-        """pred_boxes: [n,4] xyxy or [n,5] xywhr; gt_boxes likewise."""
+               gt_boxes: np.ndarray, gt_cls: np.ndarray,
+               iou: Optional[np.ndarray] = None):
+        """pred_boxes: [n,4] xyxy or [n,5] xywhr; gt_boxes likewise.
+
+        iou: optional precomputed [n_gt, n_pred] similarity (mask IoU / OKS)
+        — used instead of box IoU when given (reference Segment/PoseValidator
+        _process_batch with masks/kpts)."""
         n = pred_boxes.shape[0]
         if gt_boxes.shape[0] == 0:
             if n:
@@ -137,7 +172,8 @@ class DetMetrics:
         if n == 0:
             self._target_cls.append(gt_cls)
             return
-        iou = _probiou_np(gt_boxes, pred_boxes) if self.rotated else _box_iou_np(gt_boxes, pred_boxes)
+        if iou is None:
+            iou = _probiou_np(gt_boxes, pred_boxes) if self.rotated else _box_iou_np(gt_boxes, pred_boxes)
         self._tp.append(match_predictions(pred_cls, gt_cls, iou))
         self._conf.append(pred_conf)
         self._pred_cls.append(pred_cls)

@@ -266,6 +266,67 @@ def test_pose_predictor(pose_model):
     assert (res.keypoints[..., 0] <= 64).all() and (res.keypoints[..., 1] <= 64).all()
 
 
+def test_mask_iou_and_oks_metrics():
+    from quan_ultralytics_tpu.utils.metrics import kpt_oks_np, mask_iou_np
+
+    a = np.zeros((1, 8, 8), bool); a[0, :4, :4] = True
+    b = np.zeros((2, 8, 8), bool); b[0, :4, :4] = True; b[1, 2:6, 2:6] = True
+    iou = mask_iou_np(a, b)
+    assert iou.shape == (1, 2)
+    np.testing.assert_allclose(iou[0, 0], 1.0, atol=1e-6)
+    assert 0.0 < iou[0, 1] < 0.2  # 4/28
+
+    gk = np.zeros((1, 17, 3), np.float32)
+    gk[..., :2] = 10.0
+    gk[..., 2] = 1.0
+    pk_same = gk[..., :2][None][0][None]  # [1, 17, 2]
+    oks_same = kpt_oks_np(gk, np.array([100.0]), gk[..., :2])
+    oks_far = kpt_oks_np(gk, np.array([100.0]), gk[..., :2] + 50.0)
+    assert oks_same[0, 0] > 0.99 and oks_far[0, 0] < 0.1
+
+
+def test_segment_validator_mask_map(tmp_path, seg_model):
+    """Validator on the segment task: box metrics + mask mAP keys."""
+    from quan_ultralytics_tpu.data.dataset import YOLODataset
+    from quan_ultralytics_tpu.engine.validator import Validator
+
+    yml = _make_seg_dataset(tmp_path / "segval")
+    ds = YOLODataset(yml, split="val", task="segment")
+    m, v = seg_model
+    val = Validator(m, imgsz=64, conf=0.01)
+    res = val(v, ds, batch_size=4)
+    assert set(res) >= {"mAP50", "mAP50-95", "mAP50(M)", "mAP50-95(M)"}
+
+
+def test_pose_validator_oks_map(tmp_path, pose_model):
+    import cv2
+    import yaml
+
+    from quan_ultralytics_tpu.data.dataset import YOLODataset
+    from quan_ultralytics_tpu.engine.validator import Validator
+
+    root = tmp_path / "poseval"
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "labels" / "val").mkdir(parents=True)
+    rng = np.random.RandomState(9)
+    for i in range(4):
+        im = np.full((96, 96, 3), 25, np.uint8)
+        cv2.rectangle(im, (24, 24), (72, 72), (200, 100, 50), -1)
+        kp = 0.3 + 0.4 * rng.rand(17, 2)
+        vals = [0, 0.5, 0.5, 0.5, 0.5] + [f for xy in kp for f in (xy[0], xy[1], 2.0)]
+        cv2.imwrite(str(root / "images" / "val" / f"im{i}.jpg"), im)
+        (root / "labels" / "val" / f"im{i}.txt").write_text(
+            " ".join(str(v) for v in vals) + "\n")
+    yml = root / "data.yaml"
+    yml.write_text(yaml.dump({"path": str(root), "train": "images/val",
+                              "val": "images/val", "names": {0: "person"}}))
+    ds = YOLODataset(yml, split="val", task="pose")
+    m, v = pose_model
+    val = Validator(m, imgsz=64, conf=0.01)
+    res = val(v, ds, batch_size=4)
+    assert set(res) >= {"mAP50", "mAP50(P)", "mAP50-95(P)"}
+
+
 def test_pose_loss_decreases_when_kpts_match(pose_model):
     """Sanity: predicting exactly the GT keypoints gives a lower location
     loss than random predictions — checked through the loss function by
