@@ -51,12 +51,14 @@ class Bottleneck(nn.Module):
     k: Tuple[int, int] = (3, 3)
     e: float = 0.5
     dtype: Any = None
+    packed: bool = False  # deep-packed activations (see QConv2D.packed)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pk = "both" if self.packed else None
         c_ = int(self.c2 * self.e)
-        y = Conv(self.c1, c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(c_, self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(self.c1, c_, self.k[0], 1, dtype=self.dtype, packed=pk, name="cv1")(x, train)
+        y = Conv(c_, self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, packed=pk, name="cv2")(y, train)
         return x + y if (self.shortcut and self.c1 == self.c2) else y
 
 
@@ -72,23 +74,27 @@ class C3(nn.Module):
     k: int = 3  # bottleneck kernel (C3k customization, block.py:888-897)
     bottleneck_e: float = 1.0
     dtype: Any = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pk = "both" if self.packed else None
         c_ = int(self.c2 * self.e)
-        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = Conv(self.c1, c_, 1, 1, dtype=self.dtype, packed=pk, name="cv1")(x, train)
+        b = Conv(self.c1, c_, 1, 1, dtype=self.dtype, packed=pk, name="cv2")(x, train)
         for i in range(self.n):
             a = Bottleneck(
                 c_, c_, self.shortcut, self.g, k=(self.k, self.k), e=self.bottleneck_e,
-                dtype=self.dtype, name=f"m{i}",
+                dtype=self.dtype, packed=self.packed, name=f"m{i}",
             )(a, train)
-        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, name="cv3")(qconcat([a, b]), train)
+        return Conv(2 * c_, self.c2, 1, dtype=self.dtype, packed=pk,
+                    name="cv3")(qconcat([a, b]), train)
 
 
-def C3k(c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3, dtype=None, name=None):
+def C3k(c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3, dtype=None, packed=False, name=None):
     """C3 with custom bottleneck kernel size (reference block.py:888-897)."""
-    return C3(c1, c2, n, shortcut, g, e, k=k, bottleneck_e=1.0, dtype=dtype, name=name)
+    return C3(c1, c2, n, shortcut, g, e, k=k, bottleneck_e=1.0, dtype=dtype,
+              packed=packed, name=name)
 
 
 class C3k2(nn.Module):
@@ -103,20 +109,26 @@ class C3k2(nn.Module):
     g: int = 1
     shortcut: bool = True
     dtype: Any = None
+    packed: bool = False  # deep-packed activations: split/concat slice the
+    # channel-major packed axis (4 phase entries per channel)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pk = "both" if self.packed else None
         c = int(self.c2 * self.e)  # hidden width in total quaternion channels
-        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        cpc = c // 4  # slice the per-component channel axis
+        y = Conv(self.c1, 2 * c, 1, 1, dtype=self.dtype, packed=pk, name="cv1")(x, train)
+        cpc = (c // 4) * (4 if self.packed else 1)  # slice the per-component channel axis
         ys = [y[..., :cpc], y[..., cpc:]]
         for i in range(self.n):
             if self.c3k:
-                m = C3k(c, c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")
+                m = C3k(c, c, 2, self.shortcut, self.g, dtype=self.dtype,
+                        packed=self.packed, name=f"m{i}")
             else:
-                m = Bottleneck(c, c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype, name=f"m{i}")
+                m = Bottleneck(c, c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype,
+                               packed=self.packed, name=f"m{i}")
             ys.append(m(ys[-1], train))
-        return Conv((2 + self.n) * c, self.c2, 1, dtype=self.dtype, name="cv2")(qconcat(ys), train)
+        return Conv((2 + self.n) * c, self.c2, 1, dtype=self.dtype, packed=pk,
+                    name="cv2")(qconcat(ys), train)
 
 
 class Proto(nn.Module):

@@ -96,6 +96,11 @@ class QConv2D(nn.Module):
     # stem convs (ops/stem.py): identical math with space-to-depth-packed
     # intermediates so narrow stem activations never hit HBM lane-padded.
     # Requires k=3, s=2. Params are UNCHANGED (rearranged at apply time).
+    packed: Optional[str] = None  # in | out | both — deep phase packing
+    # (ops/stem.py expand_w_packed, channel-major r=2): activations stay
+    # space-to-depth packed ACROSS layers 0-3 so the narrow-grid layout
+    # flips of the two-layer stem path never materialize. 'out' on the RGB
+    # first layer consumes an r=4 packing of the input. Params UNCHANGED.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_weights: bool = False):
@@ -120,7 +125,7 @@ class QConv2D(nn.Module):
                 )
             return w, b
         first = self.c1 == 3
-        packed_first = first and self.stem_mode == "phase_out"
+        packed_first = first and (self.stem_mode == "phase_out" or self.packed == "out")
         if first:
             # run the RGB->quaternion mapping in the compute dtype: it is
             # pure elementwise math at FULL input resolution, and f32 there
@@ -143,7 +148,7 @@ class QConv2D(nn.Module):
         else:
             assert self.c1 % 4 == 0, f"c1={self.c1} must be a multiple of 4"
             cin = self.c1 // 4
-            want = 4 * cin if self.stem_mode == "phase_in" else cin
+            want = 4 * cin if (self.stem_mode == "phase_in" or self.packed in ("in", "both")) else cin
             assert x.shape[-1] == want and x.shape[-2] == 4, f"expected [...,4,{want}], got {x.shape}"
         assert self.c2 % 4 == 0, f"c2={self.c2} must be a multiple of 4"
         cout = self.c2 // 4
@@ -170,6 +175,20 @@ class QConv2D(nn.Module):
                 jnp.float32,
             )
         dtype = self.dtype or x.dtype
+        if self.packed is not None:
+            import os
+
+            from quan_ultralytics_tpu.ops.qconv import qconv2d_packed
+
+            assert self.g == 1 and self.d in (1, (1, 1)), "packed conv: g=1, d=1 only"
+            ri, ro = {"in": (2, 1), "out": (1, 2), "both": (2, 2)}[self.packed]
+            if packed_first:
+                ri = 4  # r=4-packed RGB input (s2d4_rgb_mapped)
+            return qconv2d_packed(
+                x.astype(dtype), w, b,
+                stride=self.s, padding=pad, ri=ri, ro=ro,
+                impl=os.environ.get("QUAN_PACKED_IMPL", "folded"),
+            )
         if self.stem_mode == "phase_out":
             assert (kh, kw) == (3, 3) and self.s in (2, (2, 2))
             if packed_first:
@@ -227,6 +246,8 @@ class IQBN(nn.Module):
     phase_packed: bool = False  # input is space-to-depth packed [..., 4, 4*C]
     # (stem path, ops/stem.py): stats reduce over the phase axis too, which
     # reproduces the unpacked statistics EXACTLY (phases partition positions)
+    packed_cmajor: bool = False  # same, but channel-major (c, a, b) packing
+    # (deep-packed stem, expand_w_packed): affine repeats per channel
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, return_affine: bool = False):
@@ -240,16 +261,18 @@ class IQBN(nn.Module):
             # param-only mode for fused eval dispatch (Conv): declare the same
             # params/stats and return them for an external folded kernel
             return gamma, beta, ra_mean.value, ra_var.value
-        want = 4 * C if self.phase_packed else C
+        want = 4 * C if (self.phase_packed or self.packed_cmajor) else C
         assert x.shape[-1] == want and x.shape[-2] == 4, f"expected [...,4,{want}], got {x.shape}"
 
         if train:
             xf = x.astype(jnp.float32)
-            if self.phase_packed:
+            if self.phase_packed or self.packed_cmajor:
                 B, H, W, Q, _ = xf.shape
-                xp = xf.reshape(B, H, W, Q, 4, C)
-                mean = xp.mean(axis=(0, 1, 2, 4))
-                var = xp.var(axis=(0, 1, 2, 4)) + 1e-8
+                shp = (B, H, W, Q, C, 4) if self.packed_cmajor else (B, H, W, Q, 4, C)
+                red = (0, 1, 2, 5) if self.packed_cmajor else (0, 1, 2, 4)
+                xp = xf.reshape(shp)
+                mean = xp.mean(axis=red)
+                var = xp.var(axis=red) + 1e-8
             else:
                 mean = xf.mean(axis=(0, 1, 2))
                 var = xf.var(axis=(0, 1, 2)) + 1e-8
@@ -266,6 +289,9 @@ class IQBN(nn.Module):
         if self.phase_packed:
             scale = jnp.tile(scale, (1, 4))
             shift = jnp.tile(shift, (1, 4))
+        elif self.packed_cmajor:
+            scale = jnp.repeat(scale, 4, axis=-1)
+            shift = jnp.repeat(shift, 4, axis=-1)
         return x.astype(dtype) * scale + shift
 
 
@@ -306,6 +332,7 @@ class Conv(nn.Module):
     mapping_type: str = "poincare"
     dtype: Any = None
     stem_mode: Optional[str] = None  # see QConv2D.stem_mode
+    packed: Optional[str] = None  # see QConv2D.packed (deep phase packing)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -313,6 +340,7 @@ class Conv(nn.Module):
 
         k1 = self.k in (1, (1, 1))
         if (not train and k1 and self.g == 1 and self.stem_mode is None
+                and self.packed is None
                 and self.c1 != 3 and os.environ.get("QUAN_FUSED_1X1") == "1"):
             # single fused Pallas kernel: 4 MXU matmuls + mixing + folded
             # IQBN + SiLU, reading BHWQC directly (the TPU analog of the
@@ -334,10 +362,11 @@ class Conv(nn.Module):
         x = QConv2D(
             self.c1, self.c2, self.k, self.s, self.p, self.g, self.d,
             use_bias=False, mapping_type=self.mapping_type, dtype=self.dtype,
-            stem_mode=self.stem_mode, name="conv",
+            stem_mode=self.stem_mode, packed=self.packed, name="conv",
         )(x)
         x = IQBN(self.c2, dtype=self.dtype,
-                 phase_packed=self.stem_mode == "phase_out", name="bn")(x, train=train)
+                 phase_packed=self.stem_mode == "phase_out",
+                 packed_cmajor=self.packed in ("out", "both"), name="bn")(x, train=train)
         return nn.silu(x) if self.act else x
 
 

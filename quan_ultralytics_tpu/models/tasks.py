@@ -156,6 +156,11 @@ class QUANYOLO(nn.Module):
     stem_s2d: bool = True  # phase-composite stem (ops/stem.py): identical
     # math, ~identical params, avoids lane-padded narrow stem activations —
     # the stem was 45% of forward time at 1024px without it
+    stem_deep: bool = False  # deep phase packing: layers 0-3 (stem + first
+    # C3k2 + the P3 downsample conv) run entirely on the packed coarse grid
+    # (expand_w_packed), eliminating the pack/unpack layout-flip copies the
+    # two-layer stem leaves at the 256-grid (~12 ms/iter @1024 b16 profiled).
+    # Identical math and params; overrides stem_s2d when the prefix matches.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -164,27 +169,41 @@ class QUANYOLO(nn.Module):
         out = None
         C3k2_cls = nn.remat(B.C3k2, static_argnums=(2,)) if self.remat else B.C3k2
         QC2PSA_cls = nn.remat(B.QC2PSA, static_argnums=(2,)) if self.remat else B.QC2PSA
+        # deep phase packing: layers 0..3 must be Conv/Conv/C3k2/Conv (k=3,
+        # s=2 convs), with no save-list reference into the packed region
+        deep_ok = (
+            self.stem_deep and len(self.specs) > 3
+            and not any(i in self.save for i in (0, 1, 2))
+            and all(self.specs[i].module == "Conv" and self.specs[i].args[2:4] == (3, 2)
+                    for i in (0, 1, 3))
+            and self.specs[2].module in ("C3k2", "QC3k2")
+        )
         for spec in self.specs:
             inputs = [y if j == -1 else saved[j] for j in spec.f]
             name = f"model_{spec.i}"
             m, a = spec.module, spec.args
             if m == "Conv":
                 stem_mode = None
-                # packed layout must stay strictly between layers 0 and 1
-                stem_ok = (
-                    self.stem_s2d and 0 not in self.save
-                    and len(self.specs) > 1
-                    and self.specs[0].module == "Conv" and self.specs[1].module == "Conv"
-                    and self.specs[0].args[2:4] == (3, 2) and self.specs[1].args[2:4] == (3, 2)
-                )
-                if stem_ok and spec.i in (0, 1):
-                    stem_mode = "phase_out" if spec.i == 0 else "phase_in"
+                packed = None
+                if deep_ok and spec.i in (0, 1, 3):
+                    packed = {0: "out", 1: "both", 3: "in"}[spec.i]
+                else:
+                    # packed layout must stay strictly between layers 0 and 1
+                    stem_ok = (
+                        self.stem_s2d and 0 not in self.save
+                        and len(self.specs) > 1
+                        and self.specs[0].module == "Conv" and self.specs[1].module == "Conv"
+                        and self.specs[0].args[2:4] == (3, 2) and self.specs[1].args[2:4] == (3, 2)
+                    )
+                    if stem_ok and spec.i in (0, 1):
+                        stem_mode = "phase_out" if spec.i == 0 else "phase_in"
                 y = C.Conv(*a, mapping_type=self.mapping_type, dtype=self.dtype,
-                           stem_mode=stem_mode, name=name)(inputs[0], train)
+                           stem_mode=stem_mode, packed=packed, name=name)(inputs[0], train)
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m in ("C3k2", "QC3k2"):
-                y = C3k2_cls(*a, dtype=self.dtype, name=name)(inputs[0], train)
+                y = C3k2_cls(*a, dtype=self.dtype, packed=deep_ok and spec.i == 2,
+                             name=name)(inputs[0], train)
             elif m == "C2f":
                 y = B.C2f(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m == "QSPPF":
@@ -260,7 +279,8 @@ class DetectionModel:
 
         module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype,
                           mapping_type=mapping_type, remat=remat,
-                          stem_s2d=os.environ.get("QUAN_STEM_S2D", "1") != "0")
+                          stem_s2d=os.environ.get("QUAN_STEM_S2D", "1") != "0",
+                          stem_deep=os.environ.get("QUAN_STEM_DEEP", "0") == "1")
         return cls(cfg, scale, nc_, task, module, specs, strides, mapping_type=mapping_type)
 
     def init(self, rng, imgsz: int = 64):

@@ -219,6 +219,83 @@ def qconv2d_phase1(x: jnp.ndarray, w: jnp.ndarray, bias: Optional[jnp.ndarray] =
     return y.astype(x.dtype)
 
 
+def qconv2d_packed(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: IntOr2 = 1,
+    padding: IntOr2 = 0,
+    ri: int = 2,
+    ro: int = 2,
+    impl: str = "folded",
+) -> jnp.ndarray:
+    """Separable qconv on space-to-depth phase-packed activations.
+
+    The deep-packed stem (ops/stem.py expand_w_packed) keeps layers 0-3 of
+    the 1024px graph entirely on the 256/128 grids: narrow early activations
+    never exist lane-padded in HBM and no pack/unpack layout flips
+    materialize between layers (the round-2 profile showed ~12 ms/iter of
+    such copies at the 256-grid).
+
+    Args:
+      x: ``[B, Hc, Wc, 4, C_in * ri * ri]`` channel-major packed input
+        (``ri == 1`` means unpacked).
+      w: unpacked per-component weights ``[4, kh, kw, C_in, C_out]`` — the
+        same params as the plain path; rearranged at apply time.
+      impl: 'folded' (mixing folded into one dense conv — full MXU lanes,
+        4x FLOPs) or 'grouped' (fgc=4, essential FLOPs).
+
+    Returns: ``[B, Ho, Wo, 4, C_out * ro * ro]`` channel-major packed.
+    """
+    from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
+    from quan_ultralytics_tpu.ops.stem import expand_w_packed
+
+    B, Hc, Wc, q4, cin_p = x.shape
+    assert q4 == 4
+    _, kh, kw, cin, cout = w.shape
+    assert cin_p == cin * ri * ri, f"packed cin {cin_p} != {cin}*{ri}^2"
+    sh, _ = _pair(stride)
+    ph, pw = _pair(padding)
+
+    wks = [expand_w_packed(w[d], sh, ph, ri, ro) for d in range(4)]
+    wk = jnp.stack([k for k, _, _ in wks])  # [4, KH, KW, cin*ri^2, cout*ro^2]
+    pl, S = wks[0][1], wks[0][2]
+    KH, KW = wk.shape[1], wk.shape[2]
+    # output size on the packed grid must cover the original conv's output
+    Jout_h = ((Hc * ri + 2 * ph - kh) // sh + 1) // ro
+    Jout_w = ((Wc * ri + 2 * pw - kw) // sh + 1) // ro
+    pr_h = S * (Jout_h - 1) + KH - 1 - pl - (Hc - 1)
+    pr_w = S * (Jout_w - 1) + KW - 1 - pl - (Wc - 1)
+
+    x_flat = x.reshape(B, Hc, Wc, 4 * cin_p)
+    if impl == "folded":
+        mix = jnp.asarray(MIX_MATRIX).astype(wk.dtype)
+        # K[(d, ci_p) -> (q, co_p)] = M[q, d] * wk[d, ..., ci_p, co_p]
+        kernel = jnp.einsum("qd,dhwio->hwdiqo", mix, wk,
+                            precision=lax.Precision.HIGHEST)
+        kernel = kernel.reshape(KH, KW, 4 * cin_p, 4 * cout * ro * ro)
+        fgc = 1
+    else:
+        kernel = jnp.transpose(wk, (1, 2, 3, 0, 4)).reshape(KH, KW, cin_p, 4 * cout * ro * ro)
+        fgc = 4
+    s = lax.conv_general_dilated(
+        x_flat,
+        kernel.astype(x_flat.dtype),
+        window_strides=(S, S),
+        padding=((pl, pr_h), (pl, pr_w)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=fgc,
+        precision=lax.Precision.HIGHEST,
+    )
+    y = s.reshape(B, s.shape[1], s.shape[2], 4, cout * ro * ro)
+    if impl != "folded":
+        y = mix_components(y, axis=-2)
+    if bias is not None:
+        y = y + jnp.repeat(bias, ro * ro).astype(y.dtype)
+    return y.astype(x.dtype)
+
+
 def fold_dense_kernel(w: jnp.ndarray, mix: jnp.ndarray) -> jnp.ndarray:
     """Fold the mixing matrix into a dense HWIO kernel (inference option).
 

@@ -107,6 +107,52 @@ def expand_w_l0_s2d4(w3: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(2, 2, 16 * cin, 4 * cout)
 
 
+def _packed_taps_1d(k: int, s: int, p: int, ri: int, ro: int):
+    """Tap map for a 1-D conv on a fine grid with packed input/output.
+
+    Original conv: output fine row ``u = ro*j + a_out`` taps input fine row
+    ``x = s*u + d - p``.  With the input packed by ``ri`` (``x = ri*i + a_in``)
+    and the output packed by ``ro``, each original tap ``(a_out, d)`` maps to
+    exactly one packed tap ``i = S*j + m`` with ``S = s*ro/ri`` and
+    ``m = (s*a_out + d - p - a_in) / ri`` (``a_in`` fixed by the remainder).
+
+    Returns ``(taps, m_min, K, S)`` where taps = [(m, a_in, a_out, d)] and the
+    packed conv has kernel size ``K`` with left padding ``-m_min``.
+    """
+    assert (s * ro) % ri == 0, f"incompatible packing: s={s} ro={ro} ri={ri}"
+    S = (s * ro) // ri
+    taps = []
+    for a_out in range(ro):
+        for d in range(k):
+            v = s * a_out + d - p
+            a_in = v % ri
+            taps.append(((v - a_in) // ri, a_in, a_out, d))
+    m_min = min(t[0] for t in taps)
+    K = max(t[0] for t in taps) - m_min + 1
+    return taps, m_min, K, S
+
+
+def expand_w_packed(w: jnp.ndarray, s: int, p: int, ri: int, ro: int):
+    """Generic packed-conv kernel expansion (channel-major ``(c, a, b)`` order).
+
+    ``w``: one component's HWIO kernel ``[kh, kw, ci, co]`` for a conv with
+    stride ``s`` / symmetric padding ``p`` on the fine grid.  Returns
+    ``(kernel [KH, KW, ci*ri*ri, co*ro*ro], pad_left, S)`` — the equivalent
+    conv on the packed grids, where packed channel index = c*(r*r) + a*r + b.
+    The unpacked stem cases (ops/stem.py expand_w_l0/l1/l0_s2d4) are the
+    (ri, ro) = (1, 2), (2, 1), (4, 2) instances of this rule.
+    """
+    kh, kw, ci, co = w.shape
+    th, mh_min, KH, S = _packed_taps_1d(kh, s, p, ri, ro)
+    tw, mw_min, KW, _ = _packed_taps_1d(kw, s, p, ri, ro)
+    wk = jnp.zeros((KH, KW, ci, ri, ri, co, ro, ro), w.dtype)
+    for m, a4, a2, d in th:
+        for n, b4, b2, e in tw:
+            wk = wk.at[m - mh_min, n - mw_min, :, a4, b4, :, a2, b2].set(w[d, e])
+    # channel-major (c, a, b): [KH, KW, ci, a4, b4, co, a2, b2] -> flat
+    return wk.reshape(KH, KW, ci * ri * ri, co * ro * ro), -mh_min, S
+
+
 def s2d4_rgb_mapped(x_rgb: jnp.ndarray, mapping_type: str) -> jnp.ndarray:
     """RGB [B, H, W, 3] -> quaternion-mapped, r=4 packed [B, H/4, W/4, 4, 16].
 

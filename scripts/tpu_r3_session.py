@@ -1,0 +1,228 @@
+"""Round-3 consolidated TPU measurement session.
+
+One long process (the tunnel degrades with process churn). Sections run in
+priority order, each wrapped so a failure doesn't kill the rest; every
+result is appended to scripts/r3_results.jsonl IMMEDIATELY (a piped `tail`
+loses everything when timeout kills the run).
+
+Usage: python scripts/tpu_r3_session.py [section ...]
+Sections: health base deep batch fold packedimpl train
+Default: health base deep batch
+
+Methodology (CLAUDE.md): K iterations inside ONE jitted fori_loop with a
+carry-dependent input; sync by fetching a scalar. Inputs generated ON
+DEVICE (host transfers ride the TCP relay).
+"""
+
+import json
+import os
+import sys
+import time
+
+RESULTS = os.path.join(os.path.dirname(__file__), "r3_results.jsonl")
+
+
+def emit(**kv):
+    kv["t"] = round(time.time())
+    line = json.dumps(kv)
+    print(line, flush=True)
+    with open(RESULTS, "a") as fh:
+        fh.write(line + "\n")
+
+
+def section(name):
+    def deco(fn):
+        fn._section = name
+        return fn
+    return deco
+
+
+def timed_fori(fn_one, iters=10, warmups=1):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run():
+        def body(i, acc):
+            return fn_one(acc)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    t0 = time.perf_counter()
+    float(run())  # compile + warmup (real execution)
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmups - 1):
+        float(run())
+    t0 = time.perf_counter()
+    float(run())
+    dt = (time.perf_counter() - t0) / iters
+    return dt, compile_s
+
+
+def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15):
+    """Full pipeline img/s: forward + decode + rotated NMS at given config.
+
+    env: dict of QUAN_* overrides applied for model construction + trace.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    saved = {}
+    for k, v in (env or {}).items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+        from quan_ultralytics_tpu.ops.boxes import non_max_suppression
+
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=nc, dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+        img = jax.jit(lambda k: jax.random.uniform(k, (batch, imgsz, imgsz, 3), jnp.float32))(
+            jax.random.PRNGKey(1))
+        jax.block_until_ready(img)
+
+        def one(acc):
+            out = model.module.apply(variables, img + acc * 1e-12, train=False)
+            pred = model.decode(out)
+            det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                          max_det=300, nc=nc, rotated=True)
+            return det.sum().astype(jnp.float32)
+
+        dt, compile_s = timed_fori(one, iters=iters)
+        return batch / dt, dt, compile_s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@section("health")
+def s_health():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    emit(section="health", devices=[str(d) for d in jax.devices()])
+    a = jnp.asarray(np.random.randn(1024, 1024).astype(np.float32))
+    t0 = time.perf_counter()
+    float((a @ a)[0, 0])
+    emit(section="health", matmul1024_s=round(time.perf_counter() - t0, 1))
+    N = 4096
+    b = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
+    c = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
+
+    def mm(acc):
+        return ((b + acc.astype(jnp.bfloat16) * 1e-12) @ c)[0, 0].astype(jnp.float32)
+
+    dt, _ = timed_fori(mm, iters=50)
+    emit(section="health", matmul4096_tflops=round(2 * N ** 3 / dt / 1e12, 1))
+
+
+@section("base")
+def s_base():
+    ips, dt, cs = infer_pipeline_imgs(96, env={"QUAN_QCONV_IMPL": "auto"})
+    emit(section="base", cfg="auto+s2d b96", img_s=round(ips, 1),
+         ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+
+
+@section("deep")
+def s_deep():
+    ips, dt, cs = infer_pipeline_imgs(
+        96, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1"})
+    emit(section="deep", cfg="auto+deep b96", img_s=round(ips, 1),
+         ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+
+
+@section("batch")
+def s_batch():
+    for b in (112, 120):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                b, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1"})
+            emit(section="batch", cfg=f"auto+deep b{b}", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:  # OOM etc - keep going
+            emit(section="batch", cfg=f"auto+deep b{b}", error=repr(e)[:200])
+
+
+@section("fold")
+def s_fold():
+    for fm in ("16", "64"):
+        ips, dt, cs = infer_pipeline_imgs(
+            96, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                     "QUAN_QCONV_FOLD_MAX": fm})
+        emit(section="fold", cfg=f"deep fold_max={fm} b96", img_s=round(ips, 1),
+             ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+
+
+@section("packedimpl")
+def s_packedimpl():
+    ips, dt, cs = infer_pipeline_imgs(
+        96, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                 "QUAN_PACKED_IMPL": "grouped"})
+    emit(section="packedimpl", cfg="deep packed=grouped b96", img_s=round(ips, 1),
+         ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+
+
+@section("train")
+def s_train():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    for deep in ("0", "1"):
+        os.environ["QUAN_QCONV_IMPL"] = "auto"
+        os.environ["QUAN_STEM_DEEP"] = deep
+        try:
+            from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+            from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+            for Bt in (8, 16):
+                model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                                 dtype=jnp.bfloat16,
+                                                 remat=(Bt == 16))
+                cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+                trainer = Trainer(model, cfg, steps_per_epoch=100)
+                state = trainer.init_state()
+                step_fn = trainer.make_train_step()
+                M = 64
+                key = jax.random.PRNGKey(2)
+                batch = {
+                    "img": jax.jit(lambda k: jax.random.uniform(
+                        k, (Bt, 1024, 1024, 3), jnp.float32))(key),
+                    "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+                    "cls": jnp.zeros((Bt, M), jnp.int32),
+                    "mask": jnp.ones((Bt, M), bool),
+                }
+                t0 = time.perf_counter()
+                state, loss, aux = step_fn(state, batch)
+                float(loss)
+                compile_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    state, loss, aux = step_fn(state, batch)
+                float(loss)
+                dt = (time.perf_counter() - t0) / 5
+                emit(section="train", cfg=f"deep={deep} b{Bt} remat={Bt == 16}",
+                     img_s=round(Bt / dt, 1), ms_step=round(dt * 1e3, 1),
+                     compile_s=round(compile_s, 1), loss=round(float(loss), 3))
+        except Exception as e:
+            emit(section="train", cfg=f"deep={deep}", error=repr(e)[:300])
+
+
+def main():
+    names = sys.argv[1:] or ["health", "base", "deep", "batch"]
+    fns = {f._section: f for f in [s_health, s_base, s_deep, s_batch, s_fold,
+                                   s_packedimpl, s_train]}
+    for n in names:
+        t0 = time.perf_counter()
+        try:
+            fns[n]()
+        except Exception as e:
+            emit(section=n, error=repr(e)[:300])
+        emit(section=n, done_s=round(time.perf_counter() - t0, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,182 @@ def test_full_model_stem_s2d_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
 
 
+def _pack_cmajor(y, r=2):
+    """[B, H, W, 4, C] -> [B, H/r, W/r, 4, C*r*r] channel-major (c, a, b)."""
+    B, H, W, Q, C = y.shape
+    y = y.reshape(B, H // r, r, W // r, r, Q, C)
+    y = y.transpose(0, 1, 3, 5, 6, 2, 4)  # [B, H/r, W/r, Q, C, a, b]
+    return y.reshape(B, H // r, W // r, Q, C * r * r)
+
+
+def _unpack_cmajor(z, r=2):
+    B, Hc, Wc, Q, Cp = z.shape
+    C = Cp // (r * r)
+    z = z.reshape(B, Hc, Wc, Q, C, r, r).transpose(0, 1, 5, 2, 6, 3, 4)
+    return z.reshape(B, Hc * r, Wc * r, Q, C)
+
+
+def test_packed_conv_generic():
+    """qconv2d_packed == pack . qconv2d . unpack for all deep-stem cases."""
+    import pytest
+    from quan_ultralytics_tpu.ops.qconv import qconv2d_packed
+
+    rng = np.random.default_rng(5)
+    cases = [
+        # (k, s, p, ri, ro) — L1 through, C3k2 3x3, C3k2 1x1, L3 in, L0-ish out
+        (3, 2, 1, 2, 2),
+        (3, 1, 1, 2, 2),
+        (1, 1, 0, 2, 2),
+        (3, 2, 1, 2, 1),
+        (3, 2, 1, 1, 2),
+    ]
+    for (k, s, p, ri, ro) in cases:
+        for impl in ("folded", "grouped"):
+            x = jnp.asarray(rng.normal(size=(2, 16, 16, 4, 3)).astype(np.float32))
+            w = jnp.asarray((rng.normal(size=(4, k, k, 3, 5)) * 0.3).astype(np.float32))
+            b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+            ref = qconv2d(x, w, b, stride=s, padding=p)
+            xin = _pack_cmajor(x, ri) if ri > 1 else x
+            got = qconv2d_packed(xin, w, b, stride=s, padding=p, ri=ri, ro=ro, impl=impl)
+            got_u = _unpack_cmajor(got, ro) if ro > 1 else got
+            assert got_u.shape == ref.shape, (k, s, p, ri, ro, impl, got_u.shape, ref.shape)
+            np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4, err_msg=str((k, s, p, ri, ro, impl)))
+
+
+def test_packed_first_layer_r4():
+    """RGB r=4 packed input through qconv2d_packed == map + conv + pack r2."""
+    from quan_ultralytics_tpu.ops.mappings import rgb_to_quaternion
+    from quan_ultralytics_tpu.ops.qconv import qconv2d_packed
+    from quan_ultralytics_tpu.ops.stem import s2d4_rgb_mapped
+
+    rng = np.random.default_rng(6)
+    x_rgb = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(4, 3, 3, 1, 4)) * 0.3).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    mapped = rgb_to_quaternion(x_rgb, "poincare")
+    ref_packed = _pack_cmajor(qconv2d(mapped, w, b, stride=2, padding=1))
+    packed_in = s2d4_rgb_mapped(x_rgb, "poincare")  # cin=1: (a,b) == c-major order
+    got = qconv2d_packed(packed_in, w, b, stride=2, padding=1, ri=4, ro=2)
+    assert got.shape == ref_packed.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed), rtol=1e-4, atol=1e-4)
+
+
+def test_iqbn_packed_cmajor():
+    """IQBN on c-major packed input == IQBN on unpacked input (train + stats)."""
+    import jax
+    from quan_ultralytics_tpu.models.conv import IQBN
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4, 3)).astype(np.float32))
+    xp = _pack_cmajor(x)
+    mod = IQBN(12)
+    mod_p = IQBN(12, packed_cmajor=True)
+    v = mod.init(jax.random.PRNGKey(0), x, train=True)
+    y, st = mod.apply(v, x, train=True, mutable=["batch_stats"])
+    yp, st_p = mod_p.apply(v, xp, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(_unpack_cmajor(yp)), np.asarray(y), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_p["batch_stats"]["mean"]),
+                               np.asarray(st["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_p["batch_stats"]["var"]),
+                               np.asarray(st["batch_stats"]["var"]), rtol=1e-5, atol=1e-6)
+
+
+def test_full_model_stem_deep_parity():
+    """stem_deep=True produces identical outputs from the SAME params."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    mod_off = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
+                       mapping_type=m.module.mapping_type, stem_s2d=False)
+    mod_deep = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
+                        mapping_type=m.module.mapping_type, stem_deep=True)
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = mod_off.init(jax.random.PRNGKey(0), x, train=False)
+    feats_off, ang_off = mod_off.apply(v, x, train=False)
+    feats_deep, ang_deep = mod_deep.apply(v, x, train=False)
+    for a, b in zip(feats_deep + ang_deep, feats_off + ang_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_packed_subgraph_gradients():
+    """Tight gradient parity on the isolated packed region (layers 0-3 shape:
+    Conv out -> Conv both -> packed C3k2 -> Conv in) vs the plain graph."""
+    import jax
+    from quan_ultralytics_tpu.models.block import C3k2
+    from quan_ultralytics_tpu.models.conv import Conv
+    import flax.linen as nn
+
+    class Sub(nn.Module):
+        packed: bool = False
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            pk = self.packed
+            x = Conv(3, 16, 3, 2, packed="out" if pk else None, name="l0")(x, train)
+            x = Conv(16, 32, 3, 2, packed="both" if pk else None, name="l1")(x, train)
+            x = C3k2(32, 64, 1, False, 0.25, packed=pk, name="l2")(x, train)
+            x = Conv(64, 64, 3, 2, packed="in" if pk else None, name="l3")(x, train)
+            return x
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    plain, packed = Sub(False), Sub(True)
+    v = plain.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(mod, params):
+        y, _ = mod.apply({**v, "params": params}, x, train=True, mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-3
+
+    l_p = float(loss(plain, v["params"]))
+    l_k = float(loss(packed, v["params"]))
+    np.testing.assert_allclose(l_k, l_p, rtol=1e-5)
+    g_p = jax.grad(lambda p: loss(plain, p))(v["params"])
+    g_k = jax.grad(lambda p: loss(packed, p))(v["params"])
+    flat_k = dict(jax.tree_util.tree_leaves_with_path(g_k))
+    for path, a in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(np.asarray(flat_k[path]), np.asarray(a),
+                                   rtol=2e-3, atol=1e-5, err_msg=jax.tree_util.keystr(path))
+
+
+def test_full_model_stem_deep_train_step():
+    """Deep-packed full graph trains end to end; gradients globally match.
+
+    The tolerance is necessarily loose: train-mode BN over the tiny 2x2 P5
+    grid of a 64px input amplifies fp32 reassociation noise through 24
+    layers for ANY two evaluation orders — the measured control is the
+    trusted round-2 stem_s2d path itself at 7.0% global-gradient L2 vs the
+    plain path under this exact probe (deep: 4.1%). Tight correctness
+    evidence lives in test_packed_subgraph_gradients (exact region, rtol
+    2e-3) and the eval-mode full-model parity test.
+    """
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    mod_off = QUANYOLO(m.module.specs, m.module.save, stem_s2d=False)
+    mod_deep = QUANYOLO(m.module.specs, m.module.save, stem_deep=True)
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = mod_off.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(mod, params):
+        out, _ = mod.apply({**v, "params": params}, x, train=True, mutable=["batch_stats"])
+        feats, ang = out
+        return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in feats) * 1e-6
+
+    g_off = jax.grad(lambda p: loss(mod_off, p))(v["params"])
+    g_deep = jax.grad(lambda p: loss(mod_deep, p))(v["params"])
+    lo = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g_off)])
+    ld = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g_deep)])
+    rel = float(jnp.linalg.norm(ld - lo) / (jnp.linalg.norm(lo) + 1e-12))
+    assert rel < 0.15, f"global gradient relative L2 error {rel}"
+
+
 def test_phase0_packed_input_matches():
     """r=4 input packing + k2 conv == mapping + k3 s2 conv, packed."""
     from quan_ultralytics_tpu.ops.mappings import rgb_to_quaternion
