@@ -60,7 +60,9 @@ def main():
             pred = model.decode(out)
             det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
                                           max_det=300, nc=model.nc, rotated=True)
-            return det[0, 0, 0].astype(jnp.float32)
+            # carry the FULL reduction: a slice-only carry would let a smarter
+            # XLA slice-through-conv pass silently DCE 95/96 batch items
+            return det.sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     float(run(variables, img))  # compile + warmup (real execution)

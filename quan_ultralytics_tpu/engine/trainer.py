@@ -13,8 +13,9 @@ TPU-native analog of reference ultralytics/engine/trainer.py (BaseTrainer):
     GSPMD, not written by hand (see parallel/mesh.py).
   * AMP fp16 + GradScaler -> bf16 compute dtype, fp32 params/loss; no scaler
     needed on TPU.
-  * checkpoints: orbax, {params, batch_stats, opt_state, ema, step} with the
-    reference's last/best policy (trainer.py:513-546).
+  * checkpoints: single-file pickled pytrees (utils/checkpoint.py) of
+    {params, batch_stats, opt_state, ema, step} with the reference's
+    last/best policy (trainer.py:513-546).
 """
 
 from __future__ import annotations
@@ -196,6 +197,7 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.mesh = make_mesh()
         self.loss_hyp = LossHyp(box=cfg.box, cls=cfg.cls, dfl=cfg.dfl)
+        self.accumulate = max(round(cfg.nbs / cfg.batch), 1)  # trainer.py:302
         self._train_step = None
 
     def init_state(self, rng=None) -> TrainState:
