@@ -21,6 +21,51 @@ def test_get_cfg_defaults_and_overrides():
         get_cfg({"mosaic": 1.5})
 
 
+def test_cfg_full_reference_key_surface():
+    """Every key of the reference default.yaml is accepted and validated
+    (reference cfg/__init__.py get_cfg type/range checks)."""
+    import yaml
+    from quan_ultralytics_tpu.cfg import CFG_PATH, get_cfg, validate_overrides
+
+    ours = yaml.safe_load(open(CFG_PATH))
+    ref_keys = [
+        "task", "mode", "model", "data", "epochs", "time", "patience", "batch",
+        "imgsz", "save", "save_period", "cache", "device", "workers", "project",
+        "name", "exist_ok", "pretrained", "optimizer", "verbose", "seed",
+        "deterministic", "single_cls", "rect", "cos_lr", "close_mosaic",
+        "resume", "amp", "fraction", "profile", "freeze", "multi_scale",
+        "overlap_mask", "mask_ratio", "dropout", "val", "split", "save_json",
+        "save_hybrid", "conf", "iou", "max_det", "half", "dnn", "plots",
+        "source", "vid_stride", "stream_buffer", "visualize", "augment",
+        "agnostic_nms", "classes", "retina_masks", "embed", "show",
+        "save_frames", "save_txt", "save_conf", "save_crop", "show_labels",
+        "show_conf", "show_boxes", "line_width", "format", "keras", "optimize",
+        "int8", "dynamic", "simplify", "opset", "workspace", "nms", "lr0",
+        "lrf", "momentum", "weight_decay", "warmup_epochs", "warmup_momentum",
+        "warmup_bias_lr", "box", "cls", "dfl", "pose", "kobj", "nbs", "hsv_h",
+        "hsv_s", "hsv_v", "degrees", "translate", "scale", "shear",
+        "perspective", "flipud", "fliplr", "bgr", "mosaic", "mixup",
+        "copy_paste", "copy_paste_mode", "auto_augment", "erasing",
+        "crop_fraction", "cfg", "tracker",
+    ]
+    missing = [k for k in ref_keys if k not in ours]
+    assert not missing, f"default.yaml missing reference keys: {missing}"
+    # typed coercion / rejection on the new keys
+    cfg = get_cfg({"rect": "true", "cache": True, "mask_ratio": "8"})
+    assert cfg.rect is True and cfg.cache == "ram" and cfg.mask_ratio == 8
+    with pytest.raises(ValueError):
+        get_cfg({"cache": "sometimes"})
+    with pytest.raises(ValueError):
+        get_cfg({"copy_paste_mode": "rotate"})
+    with pytest.raises(ValueError):
+        get_cfg({"dropout": 1.5})
+    # sparse validation path used by the CLI
+    ov = validate_overrides({"cos_lr": "1", "save_dir": "/tmp/x"})
+    assert ov["cos_lr"] is True
+    with pytest.raises(KeyError):
+        validate_overrides({"learning_rate": 0.1})
+
+
 def test_tuner_improves_fitness(tmp_path):
     from quan_ultralytics_tpu.engine.tuner import Tuner
 
@@ -81,6 +126,47 @@ def test_metrics_no_overlap():
     m.update(np.array([[0, 0, 10, 10]], np.float32), np.array([0.9]), np.array([0.0]),
              np.array([[50, 50, 60, 60]], np.float32), np.array([0.0]))
     assert m.compute()["mAP50"] == 0.0
+
+
+def test_confusion_matrix():
+    from quan_ultralytics_tpu.utils.metrics import ConfusionMatrix
+
+    # perfect: two boxes, right classes -> diagonal
+    cm = ConfusionMatrix(nc=2, conf=0.001)  # 0.001 -> 0.25 substitution
+    assert cm.conf == 0.25
+    boxes = np.array([[0, 0, 10, 10], [50, 50, 80, 80]], np.float32)
+    cm.process_batch(boxes, np.array([0.9, 0.8]), np.array([0, 1]),
+                     boxes, np.array([0, 1]))
+    assert cm.matrix[0, 0] == 1 and cm.matrix[1, 1] == 1 and cm.matrix.sum() == 2
+    tp, fp = cm.tp_fp()
+    assert list(tp) == [1, 1] and list(fp) == [0, 0]
+
+    # no overlap: FP into background col, FN into background row
+    cm = ConfusionMatrix(nc=1)
+    cm.process_batch(np.array([[0, 0, 10, 10]], np.float32), np.array([0.9]),
+                     np.array([0]), np.array([[50, 50, 60, 60]], np.float32),
+                     np.array([0]))
+    assert cm.matrix[0, 1] == 1  # predicted on background
+    assert cm.matrix[1, 0] == 1  # missed gt
+    # wrong class at right location -> off-diagonal
+    cm = ConfusionMatrix(nc=2)
+    cm.process_batch(np.array([[0, 0, 10, 10]], np.float32), np.array([0.9]),
+                     np.array([1]), np.array([[0, 0, 10, 10]], np.float32),
+                     np.array([0]))
+    assert cm.matrix[1, 0] == 1
+    # low-conf detections dropped; empty gt + empty pred is a no-op
+    cm = ConfusionMatrix(nc=1)
+    cm.process_batch(np.array([[0, 0, 10, 10]], np.float32), np.array([0.1]),
+                     np.array([0]), np.zeros((0, 4), np.float32), np.zeros((0,)))
+    assert cm.matrix.sum() == 0
+    # rotated (probiou) path
+    cm = ConfusionMatrix(nc=1)
+    rb = np.array([[50, 50, 20, 10, 0.4]], np.float32)
+    cm.process_batch(rb, np.array([0.9]), np.array([0]), rb, np.array([0]),
+                     rotated=True)
+    assert cm.matrix[0, 0] == 1
+    s = cm.summary(names=["plane"])
+    assert "plane" in s and "bg" in s
 
 
 def test_plotting(tmp_path):
