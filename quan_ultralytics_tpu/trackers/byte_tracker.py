@@ -3,8 +3,9 @@
 Reference: ultralytics/trackers/byte_tracker.py — two-stage association:
 high-score detections match tracks by IoU first, low-score detections rescue
 unmatched tracks second; lost tracks persist `track_buffer` frames.
-Assignment uses a greedy linear matcher (scipy-free Hungarian approximation,
-adequate at tracking IoU margins).
+Assignment is optimal min-cost matching (trackers/matching.py, the
+dependency-free Hungarian equivalent of the reference's lapjv/scipy
+`linear_assignment`); `greedy_assignment` is kept as a measured fallback.
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ from typing import List, Optional
 import numpy as np
 
 from quan_ultralytics_tpu.trackers.kalman import KalmanFilterXYAH
+from quan_ultralytics_tpu.trackers.matching import linear_assignment
 
 
 def iou_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -139,7 +141,7 @@ class BYTETracker:
 
         # stage 1: high-score
         d = self._dists(pool, dets_high)
-        matches, ut, ud = greedy_assignment(d, self.match_thresh)
+        matches, ut, ud = linear_assignment(d, self.match_thresh)
         for ti, di in matches:
             t = pool[ti]
             if t.state == "tracked":
@@ -150,7 +152,7 @@ class BYTETracker:
         # stage 2: rescue with low-score dets (only still-tracked leftovers)
         leftover = [pool[i] for i in ut if pool[i].state == "tracked"]
         d2 = self._dists(leftover, dets_low)
-        matches2, ut2, _ = greedy_assignment(d2, 0.5)
+        matches2, ut2, _ = linear_assignment(d2, 0.5)
         for ti, di in matches2:
             leftover[ti].update(dets_low[di], self.kf, self.frame_id)
         for i in ut2:
