@@ -1,15 +1,20 @@
-"""Export: StableHLO / saved-params formats.
+"""Export: runnable StableHLO artifacts / saved-params formats.
 
-Analog of reference engine/exporter.py (:185-1500). The reference's 17
-CUDA-era formats (TensorRT, CoreML, TFLite, ...) don't map to TPU serving;
-the TPU-native export surface is:
+Analog of reference engine/exporter.py (:185-1500) + nn/autobackend.py (:54).
+The reference's 17 CUDA-era formats (TensorRT, CoreML, TFLite, ...) don't map
+to TPU serving; the TPU-native export surface is:
 
-  * ``stablehlo``: serialized StableHLO of the jitted forward+decode —
-    portable into any XLA/PJRT runtime (the TPU analog of ONNX).
+  * ``exported`` (default, ``*.hlo``): a SERIALIZED ``jax.export`` artifact
+    of forward+decode with the weights baked in — portable StableHLO
+    bytecode that any XLA/PJRT runtime can execute with no model code (the
+    TPU analog of a runnable ONNX file). Reload with `ExportedBackend` /
+    `YOLO("model.hlo")`, or from raw jax alone via
+    ``jax.export.deserialize(payload["serialized"]).call(img)``.
+  * ``stablehlo``: human-readable StableHLO text of the same graph.
   * ``params``: pickled variables pytree + model yaml (reload with
     `YOLO(ckpt)`).
 
-Both always export the *fused* inference graph (IQBN folded — the fusion the
+All formats export the *fused* inference graph (IQBN folded — the fusion the
 reference left disabled, tasks.py:210-217, is free here since XLA fuses the
 affine into the conv epilogue).
 """
@@ -39,6 +44,73 @@ def export_stablehlo(model: DetectionModel, variables, imgsz: int = 640,
     text = lowered.as_text(dialect="stablehlo")
     Path(path).write_text(text)
     return path
+
+
+def export_compiled(model: DetectionModel, variables, imgsz: int = 640,
+                    batch: int = 1, path: str = "model.hlo",
+                    names=None, model_yaml: Optional[str] = None) -> str:
+    """Serialize a RUNNABLE artifact: jax.export bytecode of forward+decode
+    with the weights embedded as constants, plus metadata for postprocessing
+    (reference exporter.py:110-131 runnable-format intent).
+
+    The artifact executes in any process with jax installed — none of this
+    package's model code is needed (see tests/test_export_roundtrip.py,
+    which reloads and runs it in a clean subprocess)."""
+    from jax import export as jexport
+
+    def forward(img):
+        out = model.module.apply(variables, img, train=False)
+        return model.decode(out)
+
+    x = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32)
+    exported = jexport.export(jax.jit(forward))(x)
+    payload = {
+        "serialized": exported.serialize(),
+        "meta": {
+            "task": model.task,
+            "nc": model.nc,
+            "names": names,
+            "imgsz": imgsz,
+            "batch": batch,
+            "model_yaml": model_yaml,
+            "strides": tuple(int(s) for s in model.strides),
+        },
+    }
+    Path(path).write_bytes(pickle.dumps(payload))
+    return path
+
+
+class ExportedBackend:
+    """Runtime for exported ``.hlo`` artifacts (reference nn/autobackend.py:54
+    AutoBackend): predict-ready forward+decode with no model code.
+
+    Exposes the attributes `Predictor` consumes (task/nc); detect and obb
+    artifacts are supported (segment/pose predict needs the proto/keypoint
+    payload plumbing of the live model)."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        payload = pickle.loads(Path(path).read_bytes())
+        self._fn = jexport.deserialize(payload["serialized"])
+        self.meta = payload["meta"]
+        self.task = self.meta["task"]
+        assert self.task in ("detect", "obb"), \
+            f"exported predict supports detect/obb, got {self.task}"
+        self.nc = self.meta["nc"]
+        self.names = self.meta.get("names")
+        self.imgsz = self.meta["imgsz"]
+        self.batch = self.meta["batch"]
+
+    def __call__(self, img) -> jnp.ndarray:
+        """[b, H, W, 3] float32 -> decoded predictions [b, A, ...]; b may be
+        smaller than the exported batch (padded + sliced here)."""
+        b = img.shape[0]
+        assert b <= self.batch, f"exported for batch {self.batch}, got {b}"
+        if b < self.batch:
+            pad = jnp.zeros((self.batch - b, *img.shape[1:]), img.dtype)
+            img = jnp.concatenate([img, pad])
+        return self._fn.call(img.astype(jnp.float32))[:b]
 
 
 def export_params(model: DetectionModel, variables, model_yaml: str,

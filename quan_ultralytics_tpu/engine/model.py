@@ -31,6 +31,17 @@ class YOLO:
 
     def __init__(self, model: str = "yolo11n-obb-quan.yaml", nc: Optional[int] = None,
                  dtype: Any = None):
+        if str(model).endswith(".hlo"):
+            # runnable exported artifact (engine/exporter.py ExportedBackend,
+            # the AutoBackend analog): predict-only, no model code executed
+            from quan_ultralytics_tpu.engine.exporter import ExportedBackend
+
+            self.model = ExportedBackend(str(model))
+            self.variables = {}
+            self.model_yaml = self.model.meta.get("model_yaml")
+            self.names = self.model.names
+            self.task = self.model.task
+            return
         if str(model).endswith((".pkl", ".ckpt")):
             payload = pickle.loads(Path(model).read_bytes())
             self.model = DetectionModel.from_yaml(payload["model_yaml"], nc=payload["nc"], dtype=dtype)
@@ -125,25 +136,38 @@ class YOLO:
             cache: Optional[str] = None, rect: bool = False) -> Dict[str, float]:
         ds = YOLODataset(data, split=split, task=self.task, cache=cache)
         validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou)
-        return validator(self._ensure_variables(), ds, batch_size=batch,
-                         save_json=save_json, save_submission=save_submission,
-                         rect=rect)
+        out = validator(self._ensure_variables(), ds, batch_size=batch,
+                        save_json=save_json, save_submission=save_submission,
+                        rect=rect)
+        # per-run confusion matrix, printed like reference BaseValidator
+        print(validator.confusion.summary(names=list(ds.names.values())
+                                          if isinstance(ds.names, dict) else ds.names))
+        self.confusion = validator.confusion
+        return out
 
-    def export(self, format: str = "stablehlo", imgsz: int = 640, batch: int = 1,
+    def export(self, format: str = "exported", imgsz: int = 640, batch: int = 1,
                path: Optional[str] = None) -> str:
         """mode=export (reference Model.export :851 / engine/exporter.py):
-        'stablehlo' (portable XLA graph, the TPU analog of ONNX) or 'params'
-        (pickled variables + yaml, reloadable with YOLO(ckpt))."""
-        from quan_ultralytics_tpu.engine.exporter import export_params, export_stablehlo
+        'exported' (RUNNABLE jax.export StableHLO bytecode, reload with
+        YOLO("model.hlo") or raw jax — the analog of a runnable ONNX file),
+        'stablehlo' (readable StableHLO text), or 'params' (pickled variables
+        + yaml, reloadable with YOLO(ckpt))."""
+        from quan_ultralytics_tpu.engine.exporter import (export_compiled,
+                                                          export_params,
+                                                          export_stablehlo)
 
         variables = self._ensure_variables()
+        if format == "exported":
+            return export_compiled(self.model, variables, imgsz=imgsz, batch=batch,
+                                   names=self.names, model_yaml=self.model_yaml,
+                                   path=path or "model.hlo")
         if format == "stablehlo":
             return export_stablehlo(self.model, variables, imgsz=imgsz, batch=batch,
                                     path=path or "model.stablehlo")
         if format == "params":
             return export_params(self.model, variables, self.model_yaml,
                                  names=self.names, path=path or "model.pkl")
-        raise ValueError(f"unknown export format {format!r} (stablehlo|params)")
+        raise ValueError(f"unknown export format {format!r} (exported|stablehlo|params)")
 
     def tune(self, data: Union[str, Dict], iterations: int = 10, epochs: int = 5,
              imgsz: int = 640, batch: int = 16, save_dir: str = "runs/tune",
@@ -170,6 +194,8 @@ class YOLO:
 
     def predict(self, source, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,
                 max_det: int = 300) -> List[Results]:
+        if not hasattr(self.model, "module"):
+            imgsz = self.model.imgsz  # exported artifacts have a fixed shape
         predictor = Predictor(self.model, imgsz=imgsz, conf=conf, iou=iou,
                               max_det=max_det, names=self.names)
         return predictor(self._ensure_variables(), source)

@@ -74,18 +74,30 @@ class Predictor:
         else:
             self.extra_dim = 0
 
-        @jax.jit
-        def infer(variables, img):
-            # u8 input: normalize on device (4x less host->device traffic)
-            if img.dtype == jnp.uint8:
-                img = img.astype(jnp.float32) / 255.0
-            out = model.module.apply(variables, img, train=False)
-            pred = model.decode(out)
-            det, ok = non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
-                                          max_det=self.max_det, nc=model.nc, rotated=rotated,
-                                          extra_dim=self.extra_dim)
-            proto = out[2] if model.task == "segment" else jnp.zeros((img.shape[0], 1, 1, 1))
-            return det, ok, proto
+        if hasattr(model, "module"):
+            @jax.jit
+            def infer(variables, img):
+                # u8 input: normalize on device (4x less host->device traffic)
+                if img.dtype == jnp.uint8:
+                    img = img.astype(jnp.float32) / 255.0
+                out = model.module.apply(variables, img, train=False)
+                pred = model.decode(out)
+                det, ok = non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
+                                              max_det=self.max_det, nc=model.nc, rotated=rotated,
+                                              extra_dim=self.extra_dim)
+                proto = out[2] if model.task == "segment" else jnp.zeros((img.shape[0], 1, 1, 1))
+                return det, ok, proto
+        else:
+            # ExportedBackend (engine/exporter.py): the artifact contains
+            # forward+decode; only NMS runs live (reference AutoBackend path)
+            @jax.jit
+            def infer(variables, img):
+                if img.dtype == jnp.uint8:
+                    img = img.astype(jnp.float32) / 255.0
+                pred = model(img)
+                det, ok = non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
+                                              max_det=self.max_det, nc=model.nc, rotated=rotated)
+                return det, ok, jnp.zeros((img.shape[0], 1, 1, 1))
 
         self._infer = infer
 

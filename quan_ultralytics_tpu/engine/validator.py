@@ -73,6 +73,11 @@ class Validator:
         rotated = self.model.task == "obb"
         task = self.model.task
         metrics = DetMetrics(nc=self.model.nc, rotated=rotated)
+        from quan_ultralytics_tpu.utils.metrics import ConfusionMatrix
+
+        # per-run confusion matrix, printed/persisted by callers (reference
+        # BaseValidator builds one per __call__, validator.py:124)
+        self.confusion = ConfusionMatrix(nc=self.model.nc)
         # second metric head: mask mAP (segment) / OKS mAP (pose), reference
         # SegmentMetrics/PoseMetrics (utils/metrics.py)
         metrics2 = DetMetrics(nc=self.model.nc) if task in ("segment", "pose") else None
@@ -120,6 +125,8 @@ class Validator:
                     src_boxes = scale_boxes(pred_boxes, ratio_pad, ori_shape)
                 gt_cls = batch["cls"][b][gmask].astype(np.float32)
                 metrics.update(pred_boxes, conf, cls.astype(np.float32), gt_boxes, gt_cls)
+                self.confusion.process_batch(pred_boxes, conf, cls, gt_boxes, gt_cls,
+                                             rotated=rotated)
                 if metrics2 is not None and task == "segment":
                     # mask mAP at proto resolution (reference segment/val.py
                     # _process_batch(masks=True) with downsampled GT masks)

@@ -104,6 +104,82 @@ def match_predictions(pred_cls: np.ndarray, gt_cls: np.ndarray, iou: np.ndarray)
     return correct
 
 
+class ConfusionMatrix:
+    """Detection/classification confusion matrix (reference metrics.py:294).
+
+    Detect task: matrix is ``[nc+1, nc+1]`` (last row/col = background),
+    indexed [predicted, ground-truth]. Detections below ``conf`` are dropped
+    (0.25 is substituted when the 0.001 val default is passed, matching the
+    reference); matches require IoU (or probiou for rotated) > ``iou_thres``
+    and are deduplicated best-IoU-first per gt and per prediction.
+    """
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45,
+                 task: str = "detect"):
+        self.task = task
+        self.nc = nc
+        self.matrix = np.zeros((nc + 1, nc + 1) if task == "detect" else (nc, nc))
+        self.conf = 0.25 if conf in (None, 0.001) else conf
+        self.iou_thres = iou_thres
+
+    def process_cls_preds(self, preds, targets):
+        for p, t in zip(np.asarray(preds).astype(int), np.asarray(targets).astype(int)):
+            self.matrix[p, t] += 1
+
+    def process_batch(self, pred_boxes: np.ndarray, pred_conf: np.ndarray,
+                      pred_cls: np.ndarray, gt_boxes: np.ndarray, gt_cls: np.ndarray,
+                      rotated: bool = False):
+        """One image. Boxes: xyxy (or xywhr when rotated), same pixel space."""
+        gt_cls = np.asarray(gt_cls).astype(int)
+        keep = np.asarray(pred_conf) > self.conf
+        pred_boxes, pred_cls = np.asarray(pred_boxes)[keep], np.asarray(pred_cls).astype(int)[keep]
+        if gt_cls.shape[0] == 0:
+            for dc in pred_cls:
+                self.matrix[dc, self.nc] += 1  # false positive
+            return
+        if pred_cls.shape[0] == 0:
+            for gc in gt_cls:
+                self.matrix[self.nc, gc] += 1  # background FN
+            return
+        iou = (_probiou_np(gt_boxes, pred_boxes) if rotated
+               else _box_iou_np(gt_boxes, pred_boxes))
+        gi, pi = np.nonzero(iou > self.iou_thres)
+        matches = np.stack([gi, pi, iou[gi, pi]], 1) if gi.size else np.zeros((0, 3))
+        if gi.size > 1:
+            matches = matches[matches[:, 2].argsort()[::-1]]
+            matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+            matches = matches[matches[:, 2].argsort()[::-1]]
+            matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+        m0, m1 = matches[:, 0].astype(int), matches[:, 1].astype(int)
+        for i, gc in enumerate(gt_cls):
+            j = m0 == i
+            if j.sum() == 1:
+                self.matrix[pred_cls[m1[j]][0], gc] += 1  # correct/confused
+            else:
+                self.matrix[self.nc, gc] += 1  # missed (true background)
+        for i, dc in enumerate(pred_cls):
+            if not np.any(m1 == i):
+                self.matrix[dc, self.nc] += 1  # predicted on background
+
+    def tp_fp(self):
+        tp = self.matrix.diagonal()
+        fp = self.matrix.sum(1) - tp
+        return (tp[:-1], fp[:-1]) if self.task == "detect" else (tp, fp)
+
+    def summary(self, names=None) -> str:
+        """Compact textual rendering (stands in for the seaborn heatmap)."""
+        n = self.matrix.shape[0]
+        labels = list(names) if names else [str(i) for i in range(self.nc)]
+        if self.task == "detect":
+            labels = labels + ["bg"]
+        w = max(6, max(len(str(l)) for l in labels) + 1)
+        lines = ["pred\\gt".ljust(w) + "".join(str(l).rjust(w) for l in labels)]
+        for i in range(n):
+            lines.append(str(labels[i]).ljust(w)
+                         + "".join(f"{int(self.matrix[i, j])}".rjust(w) for j in range(n)))
+        return "\n".join(lines)
+
+
 def compute_ap(recall: np.ndarray, precision: np.ndarray):
     """101-point interpolated AP (reference metrics.py compute_ap)."""
     mrec = np.concatenate(([0.0], recall, [1.0]))

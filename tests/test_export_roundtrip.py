@@ -1,0 +1,90 @@
+"""Runnable-export roundtrip: export, reload, execute, match (VERDICT r2 #4).
+
+The `exported` format is jax.export StableHLO bytecode with weights baked
+in (engine/exporter.py). Three levels of evidence:
+  1. in-process ExportedBackend output == live model forward+decode
+  2. a CLEAN SUBPROCESS that never imports this package deserializes and
+     runs the artifact (proving no model code is needed — the runnable-ONNX
+     property the reference exporter.py:110-131 formats have)
+  3. YOLO("model.hlo").predict() end-to-end through NMS
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exported_obb(tmp_path_factory):
+    from quan_ultralytics_tpu.engine.model import YOLO
+
+    d = tmp_path_factory.mktemp("export")
+    m = YOLO("yolo11n-obb-quan.yaml", nc=3)
+    m.names = ["a", "b", "c"]
+    path = m.export(format="exported", imgsz=64, batch=2, path=str(d / "model.hlo"))
+    return m, path
+
+
+def test_exported_matches_live(exported_obb):
+    from quan_ultralytics_tpu.engine.exporter import ExportedBackend
+
+    m, path = exported_obb
+    backend = ExportedBackend(path)
+    assert backend.task == "obb" and backend.nc == 3 and backend.imgsz == 64
+    img = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    got = np.asarray(backend(jnp.asarray(img)))
+    live = np.asarray(m.model.decode(
+        m.model.module.apply(m.variables, jnp.asarray(img), train=False)))
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
+    # smaller-batch calls pad internally
+    got1 = np.asarray(backend(jnp.asarray(img[:1])))
+    np.testing.assert_allclose(got1, live[:1], rtol=1e-5, atol=1e-6)
+
+
+def test_exported_runs_without_package(exported_obb, tmp_path):
+    """Deserialize + execute in a subprocess whose only imports are stdlib
+    and jax — the artifact is self-contained."""
+    _, path = exported_obb
+    script = tmp_path / "run_exported.py"
+    script.write_text(
+        "import pickle, sys\n"
+        "import numpy as np\n"
+        "from pathlib import Path\n"
+        "from jax import export as jexport\n"
+        "assert not any('quan_ultralytics' in m for m in sys.modules), 'package leaked'\n"
+        f"payload = pickle.loads(Path({str(path)!r}).read_bytes())\n"
+        "fn = jexport.deserialize(payload['serialized'])\n"
+        "img = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)\n"
+        "out = np.asarray(fn.call(img))\n"
+        "assert not any('quan_ultralytics' in m for m in sys.modules), 'package leaked'\n"
+        "np.save(sys.argv[1], out)\n"
+    )
+    out_file = tmp_path / "out.npy"
+    env = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+           "PATH": "/usr/local/bin:/usr/bin:/bin", "HOME": "/root"}
+    subprocess.run([sys.executable, str(script), str(out_file)], check=True,
+                   env=env, timeout=600)
+    got = np.load(out_file)
+    m, _ = exported_obb
+    img = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    live = np.asarray(m.model.decode(
+        m.model.module.apply(m.variables, jnp.asarray(img), train=False)))
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
+
+
+def test_yolo_predict_from_exported(exported_obb, tmp_path):
+    from quan_ultralytics_tpu.engine.model import YOLO
+
+    m, path = exported_obb
+    y = YOLO(path)
+    assert y.task == "obb" and y.names == ["a", "b", "c"]
+    img = (np.random.RandomState(1).rand(48, 64, 3) * 255).astype(np.uint8)
+    res = y.predict(img, conf=0.0)
+    assert len(res) == 1
+    r = res[0]
+    assert r.task == "obb" and r.orig_shape == (48, 64)
+    assert r.boxes.shape[1] == 7  # xywhr + conf + cls
