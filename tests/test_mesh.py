@@ -148,3 +148,53 @@ def test_batch_not_divisible_replicates():
     tree = {"img": jnp.zeros((3, 4, 4, 3))}
     out = shard_batch(mesh, tree)
     assert out["img"].sharding.is_fully_replicated
+
+
+def test_sharded_grad_accum_matches_single_device():
+    """accumulate=2 (nbs = 2*batch -> optax.MultiSteps) under the 8-device
+    mesh: two sharded micro-steps produce the same updated params as the same
+    two micro-steps on one device (VERDICT r2 item 10; reference semantics
+    trainer.py:302, :366-392)."""
+    model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    batch = 8
+    cfg = TrainConfig(epochs=2, batch=batch, imgsz=64, nbs=2 * batch,
+                      warmup_epochs=0.0, dtype="float32")
+    trainer = Trainer(model, cfg, steps_per_epoch=4)
+    assert trainer.accumulate == 2
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.make_train_step()
+
+    rng = np.random.RandomState(1)
+    M = 4
+    micro = []
+    for s in range(2):
+        micro.append({
+            "img": jnp.asarray(rng.rand(batch, 64, 64, 3).astype(np.float32)),
+            "bboxes": jnp.asarray(
+                np.tile(np.array([[0.5, 0.5, 0.3, 0.2, 0.1]], np.float32),
+                        (batch, M, 1))),
+            "cls": jnp.zeros((batch, M), jnp.int32),
+            "mask": jnp.ones((batch, M), bool),
+        })
+
+    mesh = make_mesh(8)
+    s_state = replicate(mesh, state)
+    for mb in micro:
+        s_state, s_loss, _ = step(s_state, shard_batch(mesh, mb))
+
+    dev0 = jax.devices()[0]
+    u_state = jax.device_put(state, dev0)
+    for mb in micro:
+        u_state, u_loss, _ = step(
+            u_state, jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), mb))
+
+    np.testing.assert_allclose(float(s_loss), float(u_loss), rtol=2e-5)
+    # params must have actually changed (the second micro-step applied the
+    # accumulated update) and match across the two paths
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(u_state.params)))
+    assert changed, "accumulate=2 applied no update after 2 micro-steps"
+    _leaves_allclose(s_state.params, u_state.params, 1e-3, 2e-5, "params")
+    _leaves_allclose(s_state.ema_params, u_state.ema_params, 1e-3, 2e-5, "ema")
