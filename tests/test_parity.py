@@ -177,6 +177,222 @@ def test_rgb_first_layer_parity(ref_modules):
     np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Loss / gradient parity (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+def _obb_fixture_batches(B=2, M=8, imgsz=64, seed=3):
+    """Fixed synthetic OBB batch in both conventions (torch flat / ours padded)."""
+    rng = np.random.RandomState(seed)
+    n_per = [5, 3]
+    bidx, cls_l, boxes = [], [], []
+    for b, n in enumerate(n_per):
+        for _ in range(n):
+            bidx.append(b)
+            cls_l.append(rng.randint(0, 15))
+            x, y = rng.uniform(0.25, 0.75, 2)
+            w, h = rng.uniform(0.15, 0.4, 2)  # >= 2px at imgsz 64
+            r = rng.uniform(-0.7, 2.3)
+            boxes.append([x, y, w, h, r])
+    tb = {
+        "batch_idx": torch.tensor(bidx, dtype=torch.float32),
+        "cls": torch.tensor(cls_l, dtype=torch.float32).view(-1, 1),
+        "bboxes": torch.tensor(boxes, dtype=torch.float32),
+    }
+    jb = {
+        "cls": np.zeros((B, M), np.int32),
+        "bboxes": np.zeros((B, M, 5), np.float32),
+        "mask": np.zeros((B, M), bool),
+    }
+    k = 0
+    for b, n in enumerate(n_per):
+        for i in range(n):
+            jb["cls"][b, i] = cls_l[k]
+            jb["bboxes"][b, i] = boxes[k]
+            jb["mask"][b, i] = True
+            k += 1
+    img = rng.rand(B, imgsz, imgsz, 3).astype(np.float32)
+    return img, tb, jb
+
+
+def _torch_criterion(tm):
+    from types import SimpleNamespace
+
+    tm.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    return tm.init_criterion()
+
+
+def _port_torch_grads(tm, variables):
+    """Map torch .grad tensors into our params pytree via the same port
+    transforms as the weights (gradients transform identically)."""
+    from quan_ultralytics_tpu.utils.torch_port import port_state_dict
+
+    sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+    for k, p in tm.named_parameters():
+        sd[k] = (p.grad.detach().cpu().numpy() if p.grad is not None
+                 else np.zeros_like(sd[k]))
+    return port_state_dict(sd, variables)["params"]
+
+
+def _grad_rel_err(g_ref, g_got):
+    import jax
+
+    ref = np.concatenate([np.asarray(a).ravel() for a in jax.tree_util.tree_leaves(g_ref)])
+    got = np.concatenate([np.asarray(a).ravel() for a in jax.tree_util.tree_leaves(g_got)])
+    return float(np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-12))
+
+
+def test_obb_loss_value_and_grad_parity(parity_pair):
+    """v8OBBLoss component values (box/cls/dfl/angular) AND parameter
+    gradients match the patched reference on ported weights + a fixed batch
+    (reference utils/loss.py:853-1047). Eval-mode BN isolates the loss math
+    from train-BN reassociation noise; forward parity in eval mode is already
+    proven layer-by-layer above."""
+    import jax
+    import jax.numpy as jnp
+
+    from quan_ultralytics_tpu.losses.detect import obb_loss
+
+    tm, jm, ported = parity_pair
+    img, tb, jb = _obb_fixture_batches()
+    crit = _torch_criterion(tm)
+
+    xt = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    tm.zero_grad(set_to_none=True)
+    preds_t = tm(xt)
+    loss_t, items_t = crit(preds_t, tb)  # items: box, cls, dfl, quat (gained)
+    loss_t.backward()
+    g_ref = _port_torch_grads(tm, ported)
+
+    def loss_fn(params):
+        out = jm.module.apply({**ported, "params": params},
+                              jnp.asarray(img), train=False)
+        total, aux = obb_loss(out, {k: jnp.asarray(v) for k, v in jb.items()},
+                              jm.strides, nc=jm.nc)
+        return total, aux
+
+    (total_j, aux_j), g_j = jax.value_and_grad(loss_fn, has_aux=True)(ported["params"])
+
+    items = items_t.detach().numpy()
+    np.testing.assert_allclose(float(aux_j["box"]), items[0], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(aux_j["cls"]), items[1], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(aux_j["dfl"]), items[2], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(aux_j["quat"]), items[3], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(total_j), float(loss_t), rtol=2e-3)
+    rel = _grad_rel_err(g_ref, g_j)
+    assert rel < 5e-3, f"parameter-gradient relative L2 error vs reference: {rel}"
+
+
+def test_obb_three_sgd_steps_parity(parity_pair):
+    """Three plain-SGD steps with matched hyper-params track the reference
+    trajectory (VERDICT r2 item 3; reference trainer.py:366-392 modulo
+    warmup/EMA, which are covered by unit tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quan_ultralytics_tpu.losses.detect import obb_loss
+
+    tm0, jm, ported = parity_pair
+    # fresh instance + state_dict copy (deepcopy chokes on the non-leaf
+    # `angle` tensor the reference OBB head stashes during eval forward)
+    tm = type(tm0)("yolo11n-obb-quan.yaml", nc=15, verbose=False)
+    tm.load_state_dict(tm0.state_dict())
+    tm.eval()
+    img, tb, jb = _obb_fixture_batches(seed=5)
+    crit = _torch_criterion(tm)
+    lr = 0.01
+    opt = torch.optim.SGD([p for p in tm.parameters() if p.requires_grad], lr=lr)
+
+    jbj = {k: jnp.asarray(v) for k, v in jb.items()}
+    xj = jnp.asarray(img)
+
+    @jax.jit
+    def step(params):
+        def loss_fn(p):
+            out = jm.module.apply({**ported, "params": p}, xj, train=False)
+            total, _ = obb_loss(out, jbj, jm.strides, nc=jm.nc)
+            return total
+
+        total, g = jax.value_and_grad(loss_fn)(params)
+        return total, jax.tree_util.tree_map(lambda p, gg: p - lr * gg, params, g)
+
+    params = ported["params"]
+    xt = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    for it in range(3):
+        opt.zero_grad(set_to_none=True)
+        loss_t, _ = crit(tm(xt), tb)
+        loss_t.backward()
+        opt.step()
+        total_j, params = step(params)
+        np.testing.assert_allclose(float(total_j), float(loss_t), rtol=5e-3,
+                                   err_msg=f"SGD step {it} loss diverged")
+
+
+def test_detect_loss_value_and_grad_parity(ref_modules):
+    """v8DetectionLoss (reference loss.py:398-502) value + gradient parity on
+    the axis-aligned detect graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from quan_ultralytics_tpu.losses.detect import detection_loss
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+    from quan_ultralytics_tpu.utils.torch_port import port_torch_model
+
+    tm = ref_modules.tasks.DetectionModel("yolo11n-quan.yaml", nc=5, verbose=False)
+    tm.eval()
+    _randomize_stats(tm)
+    jm = DetectionModel.from_yaml("yolo11n-quan.yaml", nc=5)
+    variables = jm.init(jax.random.PRNGKey(0), imgsz=64)
+    ported = port_torch_model(tm, variables)
+
+    rng = np.random.RandomState(7)
+    B, M = 2, 6
+    img = rng.rand(B, 64, 64, 3).astype(np.float32)
+    n_per = [4, 2]
+    bidx, cls_l, boxes = [], [], []
+    for b, n in enumerate(n_per):
+        for _ in range(n):
+            bidx.append(b)
+            cls_l.append(rng.randint(0, 5))
+            x, y = rng.uniform(0.3, 0.7, 2)
+            w, h = rng.uniform(0.15, 0.4, 2)
+            boxes.append([x, y, w, h])
+    tb = {
+        "batch_idx": torch.tensor(bidx, dtype=torch.float32),
+        "cls": torch.tensor(cls_l, dtype=torch.float32).view(-1, 1),
+        "bboxes": torch.tensor(boxes, dtype=torch.float32),
+    }
+    jb = {"cls": np.zeros((B, M), np.int32), "bboxes": np.zeros((B, M, 4), np.float32),
+          "mask": np.zeros((B, M), bool)}
+    k = 0
+    for b, n in enumerate(n_per):
+        for i in range(n):
+            jb["cls"][b, i], jb["bboxes"][b, i], jb["mask"][b, i] = cls_l[k], boxes[k], True
+            k += 1
+
+    crit = _torch_criterion(tm)
+    xt = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    tm.zero_grad(set_to_none=True)
+    loss_t, items_t = crit(tm(xt), tb)
+    loss_t.backward()
+    g_ref = _port_torch_grads(tm, ported)
+
+    def loss_fn(params):
+        feats = jm.module.apply({**ported, "params": params},
+                                jnp.asarray(img), train=False)
+        return detection_loss(feats, {k: jnp.asarray(v) for k, v in jb.items()},
+                              jm.strides, nc=5)
+
+    (total_j, aux_j), g_j = jax.value_and_grad(loss_fn, has_aux=True)(ported["params"])
+    items = items_t.detach().numpy()
+    np.testing.assert_allclose(float(aux_j["box"]), items[0], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(aux_j["cls"]), items[1], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(aux_j["dfl"]), items[2], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(total_j), float(loss_t), rtol=2e-3)
+    rel = _grad_rel_err(g_ref, g_j)
+    assert rel < 5e-3, f"parameter-gradient relative L2 error vs reference: {rel}"
+
+
 def test_full_graph_parity_per_layer(parity_pair):
     """Eval-mode forward of the ENTIRE ported graph: every layer's output
     matches the reference within fp32 tolerance. Catches any silent semantic
