@@ -36,7 +36,8 @@ CFG_ENUM_KEYS = {
     "auto_augment": {"randaugment", "autoaugment", "augmix"},
 }
 # facade/CLI keys that are valid overrides but not in default.yaml
-EXTRA_OVERRIDE_KEYS = {"save_dir", "max_labels", "nc", "mapping_type"}
+EXTRA_OVERRIDE_KEYS = {"save_dir", "max_labels", "nc", "mapping_type",
+                       "path", "persist", "iterations", "save_submission"}
 
 
 def load_default() -> Dict[str, Any]:

@@ -45,12 +45,15 @@ def main(argv=None):
         raise SystemExit(f"usage: yolo [task] MODE k=v...  (modes: {MODES})")
     mode = argv.pop(0)
     kv = parse_kv(argv)
-    from quan_ultralytics_tpu.cfg import validate_overrides
+    if task != "classify":
+        # classify routes through its reference-compatible argparse CLI with
+        # its own flag vocabulary (exp_dir, batch_size, ...)
+        from quan_ultralytics_tpu.cfg import validate_overrides
 
-    try:
-        validate_overrides(kv)
-    except (KeyError, ValueError) as e:
-        raise SystemExit(f"config error: {e.args[0]}")
+        try:
+            validate_overrides(kv)
+        except (KeyError, ValueError) as e:
+            raise SystemExit(f"config error: {e.args[0]}")
 
     if task == "classify":
         # classification runs through its reference-compatible CLI; yolo-style

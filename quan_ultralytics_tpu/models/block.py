@@ -193,7 +193,7 @@ class QAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, Q, C = x.shape
         N = H * W
         head_dim = C // self.num_heads
@@ -212,10 +212,20 @@ class QAttention(nn.Module):
             return t.reshape(B, N, Q, self.num_heads, d).transpose(0, 2, 3, 1, 4)
 
         qh, kh, vh = heads(q, key_dim), heads(k, key_dim), heads(v, head_dim)
-        prec = jax.lax.Precision.HIGHEST
-        attn = jnp.einsum("bqhnd,bqhmd->bqhnm", qh, kh, precision=prec) * (key_dim ** -0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        o = jnp.einsum("bqhnm,bqhmd->bqhnd", attn, vh, precision=prec)
+        import os
+
+        from quan_ultralytics_tpu.ops.pallas import qattn
+
+        if (not train and qattn.supports(N)
+                and os.environ.get("QUAN_FUSED_ATTN", "0") == "1"):
+            # flash-style Pallas kernel: the [B,4,H,N,N] score matrix never
+            # hits HBM (tens of ms of traffic at 1024px b96 — see qattn.py)
+            o = qattn.qattention_fused(qh, kh, vh, key_dim ** -0.5)
+        else:
+            prec = jax.lax.Precision.HIGHEST
+            attn = jnp.einsum("bqhnd,bqhmd->bqhnm", qh, kh, precision=prec) * (key_dim ** -0.5)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            o = jnp.einsum("bqhnm,bqhmd->bqhnd", attn, vh, precision=prec)
         o = o.transpose(0, 3, 1, 2, 4).reshape(B, H, W, Q, C)
 
         o = o + QConv2D(self.dim, self.dim, 3, p=1, g=self.dim // 4, use_bias=False,
@@ -234,7 +244,7 @@ class QPSABlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        a = QAttention(self.c, self.num_heads, self.attn_ratio, dtype=self.dtype, name="attn")(x)
+        a = QAttention(self.c, self.num_heads, self.attn_ratio, dtype=self.dtype, name="attn")(x, train)
         x = x + a if self.shortcut else a
         f = Conv(self.c, self.c * 2, 1, dtype=self.dtype, name="ffn0")(x, train)
         f = Conv(self.c * 2, self.c, 1, act=False, dtype=self.dtype, name="ffn1")(f, train)
@@ -303,7 +313,7 @@ class QPSA(nn.Module):
         cpc = c // 4
         a, b = y[..., :cpc], y[..., cpc:]
         a = QAttention(c, num_heads=max(c // 16, 1), attn_ratio=1.0,
-                       dtype=self.dtype, name="attn")(a)
+                       dtype=self.dtype, name="attn")(a, train)
         f = Conv(c, c * 2, 1, dtype=self.dtype, name="ffn0")(a, train)
         a = Conv(c * 2, c, 1, act=False, dtype=self.dtype, name="ffn1")(f, train)
         return Conv(2 * c, self.c2, 1, dtype=self.dtype, name="cv2")(qconcat([a, b]), train)

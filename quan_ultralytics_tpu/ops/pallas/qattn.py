@@ -1,0 +1,78 @@
+"""Fused per-component attention Pallas kernel (flash-style, no N^2 in HBM).
+
+QAttention (models/block.py, reference block.py:1485-1546) runs softmax
+(Q K^T * scale) V independently per (batch, quaternion component, head). The
+XLA path materializes the [B, 4, H, N, N] score matrix: at 1024px (P5 grid
+32x32 -> N=1024) and batch 96 that is 6.4 GB bf16 + a 12.9 GB fp32 softmax
+round-trip — tens of ms of pure HBM traffic for ~39 GFLOP of compute.
+
+This kernel grids over (B*4*H) and keeps each [N, N] score block entirely in
+VMEM: one MXU pass for Q K^T (fp32 accumulation), row softmax in fp32, cast
+to the value dtype (matching the XLA path's `.astype(x.dtype)` before the AV
+product), one MXU pass for P V. HBM traffic collapses to the O(N*d) q/k/v/o
+tensors.
+
+Layout (see qconv_fused.py for the Mosaic rules learned on this backend):
+rank-3 refs with a leading singleton block dim; N rides the sublanes
+(multiple of 8), head dims ride the lanes (padded by Mosaic; they are tiny).
+Gated to N % 128 == 0 and N <= 2048 (VMEM: 2 fp32 [N, N] buffers = 8 MB at
+N=1024).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # [N, dk]
+    k = k_ref[0]  # [N, dk]
+    v = v_ref[0]  # [N, dv]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [N, N] fp32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def supports(n: int) -> bool:
+    """Shape gate: full-row softmax in VMEM needs tile-legal N that fits."""
+    return n % 128 == 0 and n <= 2048
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def qattention_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     scale: float) -> jnp.ndarray:
+    """softmax(q @ k^T * scale) @ v per (batch, component, head).
+
+    q, k: ``[B, Q4, H, N, dk]``; v: ``[B, Q4, H, N, dv]``.
+    Returns ``[B, Q4, H, N, dv]`` in v.dtype.
+    """
+    B, Qc, H, N, dk = q.shape
+    dv = v.shape[-1]
+    assert supports(N), f"N={N} unsupported (need N % 128 == 0, N <= 2048)"
+    G = B * Qc * H
+    qf = q.reshape(G, N, dk)
+    kf = k.reshape(G, N, dk)
+    vf = v.reshape(G, N, dv)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, N, dk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N, dk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, N, dv), v.dtype),
+        interpret=jax.default_backend() == "cpu",  # CPU tests run the interpreter
+    )(qf, kf, vf)
+    return out.reshape(B, Qc, H, N, dv)

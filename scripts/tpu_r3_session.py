@@ -19,6 +19,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 RESULTS = os.path.join(os.path.dirname(__file__), "r3_results.jsonl")
 
 
@@ -37,23 +38,29 @@ def section(name):
     return deco
 
 
-def timed_fori(fn_one, iters=10, warmups=1):
+def timed_fori(fn_one, args=(), iters=10, warmups=1):
+    """Time `iters` calls of fn_one(*args, acc) inside one jitted fori_loop.
+
+    CRITICAL: `args` are passed as jit ARGUMENTS — closing over big concrete
+    arrays embeds them as HLO constants and blows the remote-compile request
+    size limit (CLAUDE.md remote-compile constraints; a [96,1024,1024,3] f32
+    input is 1.2 GB)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run():
+    def run(*a):
         def body(i, acc):
-            return fn_one(acc)
+            return fn_one(*a, acc)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     t0 = time.perf_counter()
-    float(run())  # compile + warmup (real execution)
+    float(run(*args))  # compile + warmup (real execution)
     compile_s = time.perf_counter() - t0
     for _ in range(warmups - 1):
-        float(run())
+        float(run(*args))
     t0 = time.perf_counter()
-    float(run())
+    float(run(*args))
     dt = (time.perf_counter() - t0) / iters
     return dt, compile_s
 
@@ -80,14 +87,14 @@ def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15):
             jax.random.PRNGKey(1))
         jax.block_until_ready(img)
 
-        def one(acc):
+        def one(variables, img, acc):
             out = model.module.apply(variables, img + acc * 1e-12, train=False)
             pred = model.decode(out)
             det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
                                           max_det=300, nc=nc, rotated=True)
             return det.sum().astype(jnp.float32)
 
-        dt, compile_s = timed_fori(one, iters=iters)
+        dt, compile_s = timed_fori(one, args=(variables, img), iters=iters)
         return batch / dt, dt, compile_s
     finally:
         for k, v in saved.items():
@@ -112,10 +119,10 @@ def s_health():
     b = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
     c = jnp.asarray(np.random.randn(N, N).astype(np.float32)).astype(jnp.bfloat16)
 
-    def mm(acc):
+    def mm(b, c, acc):
         return ((b + acc.astype(jnp.bfloat16) * 1e-12) @ c)[0, 0].astype(jnp.float32)
 
-    dt, _ = timed_fori(mm, iters=50)
+    dt, _ = timed_fori(mm, args=(b, c), iters=50)
     emit(section="health", matmul4096_tflops=round(2 * N ** 3 / dt / 1e12, 1))
 
 

@@ -53,3 +53,41 @@ def test_fused_qconv1x1_matches_reference_path():
     ref = ref * scale + shift
     ref = ref * jax.nn.sigmoid(ref)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_matches_xla_path():
+    """qattention_fused (interpret mode on CPU) == the einsum+softmax path,
+    and QAttention produces identical output with the kernel enabled."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from quan_ultralytics_tpu.models.block import QAttention
+    from quan_ultralytics_tpu.ops.pallas.qattn import qattention_fused, supports
+
+    rng = np.random.default_rng(0)
+    B, Q, H, N, dk, dv = 2, 4, 3, 128, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, Q, H, N, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Q, H, N, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Q, H, N, dv)).astype(np.float32))
+    scale = dk ** -0.5
+    attn = jnp.einsum("bqhnd,bqhmd->bqhnm", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    ref = jnp.einsum("bqhnm,bqhmd->bqhnd", attn, v)
+    got = qattention_fused(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    assert supports(128) and supports(1024) and not supports(400) and not supports(4096)
+
+    # module-level: kernel on vs off, same params (eval only; N=8*16=128)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 4, 32)).astype(np.float32))
+    mod = QAttention(dim=128, num_heads=8, attn_ratio=0.5)
+    vvars = mod.init(jax.random.PRNGKey(0), x)
+    y_off = mod.apply(vvars, x)
+    os.environ["QUAN_FUSED_ATTN"] = "1"
+    try:
+        y_on = mod.apply(vvars, x)
+    finally:
+        os.environ.pop("QUAN_FUSED_ATTN", None)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), rtol=2e-4, atol=2e-5)
