@@ -32,9 +32,13 @@ TARGET = 2 * A100_PROXY_IMG_S
 def main():
     import os
 
-    # best measured conv mapping (see CLAUDE.md): folded-dense for narrow
-    # layers, grouped for wide — +25% over all-grouped at 1024px
+    # best measured config (see CLAUDE.md round-3 A/Bs @1024 b96):
+    #   auto conv impl (folded narrow / grouped wide), fold threshold 32,
+    #   deep phase-packed stem (layers 0-3), fused Pallas attention
+    #   (554.7 -> 585.3 -> 678.0 img/s in one session)
     os.environ.setdefault("QUAN_QCONV_IMPL", "auto")
+    os.environ.setdefault("QUAN_STEM_DEEP", "1")
+    os.environ.setdefault("QUAN_FUSED_ATTN", "1")
 
     import jax
     import jax.numpy as jnp

@@ -143,14 +143,26 @@ def s_deep():
 
 @section("batch")
 def s_batch():
-    for b in (112, 120):
+    # under fused attention the [B,4,8,N,N] score tensor no longer lives in
+    # HBM, so batches beyond 96 may newly fit
+    for b in (128, 112, 104):
         try:
             ips, dt, cs = infer_pipeline_imgs(
-                b, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1"})
-            emit(section="batch", cfg=f"auto+deep b{b}", img_s=round(ips, 1),
+                b, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                        "QUAN_FUSED_ATTN": "1"})
+            emit(section="batch", cfg=f"auto+deep+attn b{b}", img_s=round(ips, 1),
                  ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
         except Exception as e:  # OOM etc - keep going
-            emit(section="batch", cfg=f"auto+deep b{b}", error=repr(e)[:200])
+            emit(section="batch", cfg=f"auto+deep+attn b{b}", error=repr(e)[:200])
+
+
+@section("attn")
+def s_attn():
+    ips, dt, cs = infer_pipeline_imgs(
+        96, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                 "QUAN_FUSED_ATTN": "1"})
+    emit(section="attn", cfg="auto+deep+fusedattn b96", img_s=round(ips, 1),
+         ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
 
 
 @section("fold")
@@ -220,8 +232,8 @@ def s_train():
 
 def main():
     names = sys.argv[1:] or ["health", "base", "deep", "batch"]
-    fns = {f._section: f for f in [s_health, s_base, s_deep, s_batch, s_fold,
-                                   s_packedimpl, s_train]}
+    fns = {f._section: f for f in [s_health, s_base, s_deep, s_batch, s_attn,
+                                   s_fold, s_packedimpl, s_train]}
     for n in names:
         t0 = time.perf_counter()
         try:
