@@ -309,9 +309,11 @@ def non_max_suppression(
         cls_t = cls_id[idx]
         valid_t = score_top > conf_thres
         offset = jnp.where(agnostic, 0.0, cls_t.astype(jnp.float32) * max_wh)
-        extras_t = p[idx][:, p.shape[-1] - extra_dim:] if extra_dim else None
+        extras_t = p[:, p.shape[-1] - extra_dim:][idx] if extra_dim else None
         if rotated:
-            angle = p[idx][:, 4 + nc : 4 + nc + 1]
+            # slice-then-gather: gathering full rows just to keep one angle
+            # column cost ~8 ms/iter at b96 (profiled f32[196608,20] gather)
+            angle = p[:, 4 + nc : 4 + nc + 1][idx]
             nms_boxes = jnp.concatenate([boxes_t[:, :2] + offset[:, None], boxes_t[:, 2:4], angle], axis=-1)
             keep = nms_rotated(nms_boxes, score_top, iou_thres)
             out_boxes = jnp.concatenate([boxes_t[:, :4], angle], axis=-1)

@@ -162,9 +162,9 @@ def s2d4_rgb_mapped(x_rgb: jnp.ndarray, mapping_type: str) -> jnp.ndarray:
     from quan_ultralytics_tpu.ops.mappings import rgb_to_quaternion
 
     B, H, W, _ = x_rgb.shape
-    x = x_rgb.reshape(B, H // 4, 4, W // 4, 4, 3)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, H/4, W/4, a4, b4, 3]
-    q = rgb_to_quaternion(x.reshape(B, H // 4, W // 4 * 16, 3), mapping_type)
-    q = q.reshape(B, H // 4, W // 4, 4, 4, 4, 1)  # [..., a4, b4, quat, 1]
-    q = jnp.moveaxis(q, 5, 3)[..., 0]  # [B, H/4, W/4, quat, a4, b4]
+    # map first, then ONE transpose: the earlier reshape-transpose-map-
+    # moveaxis order materialized two full-image copies (~6 ms/iter at b96)
+    q = rgb_to_quaternion(x_rgb, mapping_type)[..., 0]  # [B, H, W, 4(quat)]
+    q = q.reshape(B, H // 4, 4, W // 4, 4, 4)  # [B, Hc, a4, Wc, b4, quat]
+    q = q.transpose(0, 1, 3, 5, 2, 4)          # [B, Hc, Wc, quat, a4, b4]
     return q.reshape(B, H // 4, W // 4, 4, 16)
