@@ -47,7 +47,9 @@ def main():
     from quan_ultralytics_tpu.ops.boxes import non_max_suppression
 
     imgsz = 1024
-    batch = 96  # utilization climbs with batch: 16~207, 32~272, 64~384, 96~546 img/s (128 OOMs)
+    batch = 128  # b128 fits once fused attention stops materializing the
+    # [B,4,8,1024,1024] score tensor (round-2 OOM'd at 128): measured
+    # b96 678 / b104 716 / b112 739.5 / b128 812.2 img/s (round-3 session)
     iters = 10
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
