@@ -216,8 +216,9 @@ class QAttention(nn.Module):
 
         from quan_ultralytics_tpu.ops.pallas import qattn
 
-        if (not train and qattn.supports(N)
-                and os.environ.get("QUAN_FUSED_ATTN", "0") == "1"):
+        if (qattn.supports(N)
+                and os.environ.get("QUAN_FUSED_ATTN", "0") == "1"
+                and (not train or os.environ.get("QUAN_FUSED_ATTN_TRAIN", "0") == "1")):
             # flash-style Pallas kernel: the [B,4,H,N,N] score matrix never
             # hits HBM (tens of ms of traffic at 1024px b96 — see qattn.py)
             o = qattn.qattention_fused(qh, kh, vh, key_dim ** -0.5)

@@ -48,31 +48,106 @@ def supports(n: int) -> bool:
     return n % 128 == 0 and n <= 2048
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float):
+    """Flash-style backward: recompute P in VMEM (no stored N^2 residual).
+
+    With S = scale * Q K^T, P = softmax(S), O = P V and cotangent dO:
+      dV = P^T dO
+      dP = dO V^T
+      dS = P o (dP - rowsum(dP o P))       [softmax VJP]
+      dQ = scale * dS K,  dK = scale * dS^T Q
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [N, N] f32
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        pb, do_ref[0], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [N, dv]
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, N]
+    rs = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - rs) * scale).astype(q.dtype)        # [N, N]
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _spec(n, d):
+    return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))
+
+
+def _fwd_call(q, k, v, scale):
+    G, N, dk = q.shape
+    dv = v.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=(G,),
+        in_specs=[_spec(N, dk), _spec(N, dk), _spec(N, dv)],
+        out_specs=_spec(N, dv),
+        out_shape=jax.ShapeDtypeStruct((G, N, dv), v.dtype),
+        interpret=jax.default_backend() == "cpu",  # CPU tests run the interpreter
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attn(q, k, v, scale):
+    return _fwd_call(q, k, v, scale)
+
+
+def _attn_fwd(q, k, v, scale):
+    return _fwd_call(q, k, v, scale), (q, k, v)
+
+
+def _attn_bwd(scale, res, do):
+    q, k, v = res
+    G, N, dk = q.shape
+    dv = v.shape[-1]
+    dq, dk_, dv_ = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(G,),
+        in_specs=[_spec(N, dk), _spec(N, dk), _spec(N, dv), _spec(N, dv)],
+        out_specs=[_spec(N, dk), _spec(N, dk), _spec(N, dv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N, dk), q.dtype),
+            jax.ShapeDtypeStruct((G, N, dk), k.dtype),
+            jax.ShapeDtypeStruct((G, N, dv), v.dtype),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v, do)
+    return dq, dk_, dv_
+
+
+_attn.defvjp(_attn_fwd, _attn_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def qattention_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      scale: float) -> jnp.ndarray:
     """softmax(q @ k^T * scale) @ v per (batch, component, head).
 
     q, k: ``[B, Q4, H, N, dk]``; v: ``[B, Q4, H, N, dv]``.
-    Returns ``[B, Q4, H, N, dv]`` in v.dtype.
+    Returns ``[B, Q4, H, N, dv]`` in v.dtype. Differentiable: the custom VJP
+    recomputes P per block in VMEM (flash backward — no N^2 residual).
     """
     B, Qc, H, N, dk = q.shape
     dv = v.shape[-1]
     assert supports(N), f"N={N} unsupported (need N % 128 == 0, N <= 2048)"
     G = B * Qc * H
-    qf = q.reshape(G, N, dk)
-    kf = k.reshape(G, N, dk)
-    vf = v.reshape(G, N, dv)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, N, dk), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, N, dk), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, N, dv), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, N, dv), v.dtype),
-        interpret=jax.default_backend() == "cpu",  # CPU tests run the interpreter
-    )(qf, kf, vf)
+    out = _attn(q.reshape(G, N, dk), k.reshape(G, N, dk), v.reshape(G, N, dv),
+                scale)
     return out.reshape(B, Qc, H, N, dv)

@@ -91,3 +91,35 @@ def test_fused_attention_matches_xla_path():
     finally:
         os.environ.pop("QUAN_FUSED_ATTN", None)
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_gradients():
+    """Custom VJP (flash backward, recomputed P) == autodiff of the einsum
+    path for dQ/dK/dV."""
+    import jax
+    import numpy as np
+
+    from quan_ultralytics_tpu.ops.pallas.qattn import qattention_fused
+
+    rng = np.random.default_rng(1)
+    B, Q, H, N, dk, dv = 1, 2, 2, 128, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, Q, H, N, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Q, H, N, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Q, H, N, dv)).astype(np.float32))
+    scale = dk ** -0.5
+    w = jnp.asarray(rng.normal(size=(B, Q, H, N, dv)).astype(np.float32))
+
+    def ref_loss(q, k, v):
+        attn = jnp.einsum("bqhnd,bqhmd->bqhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        o = jnp.einsum("bqhnm,bqhmd->bqhnd", attn, v)
+        return jnp.sum(o * w)
+
+    def ker_loss(q, k, v):
+        return jnp.sum(qattention_fused(q, k, v, scale) * w)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4,
+                                   atol=5e-5, err_msg=f"d{name}")
