@@ -184,6 +184,60 @@ def s_packedimpl():
          ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
 
 
+@section("bench128")
+def s_bench128():
+    # combined effect: deep + fused attn + NMS narrow-gather + one-transpose
+    # RGB packing, at the new default batch
+    ips, dt, cs = infer_pipeline_imgs(
+        128, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                  "QUAN_FUSED_ATTN": "1"})
+    emit(section="bench128", cfg="deep+attn+microopts b128", img_s=round(ips, 1),
+         ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+
+
+@section("train2")
+def s_train2():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    os.environ["QUAN_QCONV_IMPL"] = "auto"
+    os.environ["QUAN_STEM_DEEP"] = "1"
+    from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+    for Bt, remat in ((16, False), (24, True), (12, False)):
+        try:
+            model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                             dtype=jnp.bfloat16, remat=remat)
+            cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+            trainer = Trainer(model, cfg, steps_per_epoch=100)
+            state = trainer.init_state()
+            step_fn = trainer.make_train_step()
+            M = 64
+            batch = {
+                "img": jax.jit(lambda k: jax.random.uniform(
+                    k, (Bt, 1024, 1024, 3), jnp.float32))(jax.random.PRNGKey(2)),
+                "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+                "cls": jnp.zeros((Bt, M), jnp.int32),
+                "mask": jnp.ones((Bt, M), bool),
+            }
+            t0 = time.perf_counter()
+            state, loss, aux = step_fn(state, batch)
+            float(loss)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(5):
+                state, loss, aux = step_fn(state, batch)
+            float(loss)
+            dt = (time.perf_counter() - t0) / 5
+            emit(section="train2", cfg=f"deep=1 b{Bt} remat={remat}",
+                 img_s=round(Bt / dt, 1), ms_step=round(dt * 1e3, 1),
+                 compile_s=round(compile_s, 1))
+        except Exception as e:
+            emit(section="train2", cfg=f"deep=1 b{Bt} remat={remat}", error=repr(e)[:250])
+
+
 @section("train")
 def s_train():
     import numpy as np
@@ -233,7 +287,7 @@ def s_train():
 def main():
     names = sys.argv[1:] or ["health", "base", "deep", "batch"]
     fns = {f._section: f for f in [s_health, s_base, s_deep, s_batch, s_attn,
-                                   s_fold, s_packedimpl, s_train]}
+                                   s_fold, s_packedimpl, s_train, s_bench128, s_train2]}
     for n in names:
         t0 = time.perf_counter()
         try:
