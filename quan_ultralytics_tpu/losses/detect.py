@@ -59,9 +59,14 @@ def _dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.
     wl = tr.astype(jnp.float32) - t
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
-    return (ce_l * wl + ce_r * wr).mean(axis=-1)
+    # contract against a two-hot weight vector instead of gathering: the two
+    # take_along_axis gathers over the dense [B, A, 4, reg_max] tensor lower
+    # to 20ms-each kCustom gather fusions on TPU (train profile @1024 b16);
+    # the bins-axis compare+sum is pure vector work and fuses away.
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    w2 = (wl[..., None] * (bins == tl[..., None])
+          + wr[..., None] * (bins == jnp.clip(tr, 0, reg_max - 1)[..., None]))
+    return -(logp * w2).sum(axis=-1).mean(axis=-1)
 
 
 def _split_preds(feats: Sequence[jnp.ndarray], nc: int, reg_max: int):

@@ -50,12 +50,40 @@ def _candidates_in_rotated_gts(anc_points: jnp.ndarray, gt_bboxes: jnp.ndarray) 
     return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
 
 
+def _exact_topk_idx(metrics: jnp.ndarray, topk: int, chunk: int = 128) -> jnp.ndarray:
+    """Exact top-k indices over the last axis via two-level selection.
+
+    ``lax.top_k`` over the full anchor axis (A=21504 at 1024px) lowers to a
+    full stable sort — ~19.5 ms/step in the train profile. Chunking the axis,
+    taking top-k per chunk, then top-k over the ``(A/chunk)*k`` survivors is
+    exact (any global top-k element is in its chunk's top-k) and preserves
+    lax.top_k's lowest-index tie-breaking: candidates are ordered by
+    (chunk, rank), which for equal values is global index order.
+    """
+    B, M, A = metrics.shape
+    if A <= 4 * chunk:
+        _, idx = jax.lax.top_k(metrics, topk)
+        return idx
+    pad = (-A) % chunk
+    if pad:
+        # metrics are >= 0 everywhere, so -inf padding is never selected
+        metrics = jnp.pad(metrics, ((0, 0), (0, 0), (0, pad)),
+                          constant_values=-jnp.inf)
+    nch = (A + pad) // chunk
+    k1 = min(topk, chunk)
+    v1, i1 = jax.lax.top_k(metrics.reshape(B, M, nch, chunk), k1)
+    gidx = (jnp.arange(nch, dtype=jnp.int32)[:, None] * chunk
+            + i1).reshape(B, M, nch * k1)
+    _, sel = jax.lax.top_k(v1.reshape(B, M, nch * k1), topk)
+    return jnp.take_along_axis(gidx, sel, axis=-1)
+
+
 def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
     """Reference select_topk_candidates (tal.py:160-193) incl. its index-0
     collision quirk: invalid rows scatter all their k picks onto index 0,
     and any count > 1 is dropped."""
     B, M, A = metrics.shape
-    _, idx = jax.lax.top_k(metrics, topk)  # [B, M, k]
+    idx = _exact_topk_idx(metrics, topk)  # [B, M, k]
     idx = jnp.where(valid_gt[..., None], idx, 0)
     count = jax.nn.one_hot(idx, A, dtype=jnp.int32).sum(axis=2)  # [B, M, A]
     return jnp.where(count > 1, 0, count).astype(metrics.dtype)

@@ -218,7 +218,10 @@ class QAttention(nn.Module):
 
         if (qattn.supports(N)
                 and os.environ.get("QUAN_FUSED_ATTN", "0") == "1"
-                and (not train or os.environ.get("QUAN_FUSED_ATTN_TRAIN", "0") == "1")):
+                and (not train or os.environ.get("QUAN_FUSED_ATTN_TRAIN", "1") == "1")):
+            # training default ON: the flash backward (custom VJP) measured
+            # b8 83.7->91.7, and with the loss fixes b24 reaches 129.8 img/s
+            # @1024 (r3_results.jsonl trainattn); set _TRAIN=0 to fall back
             # flash-style Pallas kernel: the [B,4,H,N,N] score matrix never
             # hits HBM (tens of ms of traffic at 1024px b96 — see qattn.py)
             o = qattn.qattention_fused(qh, kh, vh, key_dim ** -0.5)

@@ -15,8 +15,9 @@ tensors.
 Layout (see qconv_fused.py for the Mosaic rules learned on this backend):
 rank-3 refs with a leading singleton block dim; N rides the sublanes
 (multiple of 8), head dims ride the lanes (padded by Mosaic; they are tiny).
-Gated to N % 128 == 0 and N <= 2048 (VMEM: 2 fp32 [N, N] buffers = 8 MB at
-N=1024).
+N is padded up to a multiple of 128 (masked key columns softmax to zero);
+gated to 64 <= N with padded N <= 2048 (VMEM: 2 fp32 [N, N] buffers = 8 MB
+at N=1024). At 640px the P5 grid gives N=400 -> padded 512.
 """
 
 from __future__ import annotations
@@ -28,28 +29,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # [N, dk]
+_NEG = -1e30  # finite -inf stand-in: exp(_NEG - m) == 0 without NaN risk
+
+
+def _masked_softmax(s, n_valid):
+    """Row softmax over the first n_valid columns (rest forced to 0)."""
+    n = s.shape[-1]
+    if n_valid < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    # reciprocal-multiply: the broadcast divide over [N, N] is slower VPU work
+    return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    # fold the softmax scale into the [N, dk] operand — scaling the [N, N]
+    # score matrix instead costs a full extra VPU pass (the kernel is
+    # softmax/VPU-bound at dk=2: 15.4 ms/iter of the b128 profile)
+    q = q_ref[0] * scale  # [N, dk]
     k = k_ref[0]  # [N, dk]
     v = v_ref[0]  # [N, dv]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [N, N] fp32
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    )  # [N, N] fp32
+    p = _masked_softmax(s, n_valid)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
 def supports(n: int) -> bool:
-    """Shape gate: full-row softmax in VMEM needs tile-legal N that fits."""
-    return n % 128 == 0 and n <= 2048
+    """Shape gate: full-row softmax in VMEM needs N (padded up to a multiple
+    of 128) that fits; below 64 tokens the XLA path is already tiny."""
+    return 64 <= n and -(-n // 128) * 128 <= 2048
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale: float):
+                     *, scale: float, n_valid: int):
     """Flash-style backward: recompute P in VMEM (no stored N^2 residual).
 
     With S = scale * Q K^T, P = softmax(S), O = P V and cotangent dO:
@@ -57,17 +75,19 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
       dP = dO V^T
       dS = P o (dP - rowsum(dP o P))       [softmax VJP]
       dQ = scale * dS K,  dK = scale * dS^T Q
+
+    Padded-N correctness: masked key columns give P[:, pad] = 0, so dV and
+    dK rows at pad vanish; padded query rows carry dO = 0 (the output slice's
+    VJP zero-pads), so their dS row is 0.
     """
-    q = q_ref[0]
-    k = k_ref[0]
+    qs = q_ref[0] * scale  # scale folded into the [N, dk] operands (see fwd)
+    ks = k_ref[0] * scale
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [N, N] f32
+        qs, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = _masked_softmax(s, n_valid)                     # [N, N] f32
     pb = p.astype(v.dtype)
     dv = jax.lax.dot_general(
         pb, do_ref[0], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -77,10 +97,10 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         preferred_element_type=jnp.float32,
     )  # [N, N]
     rs = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = (p * (dp - rs) * scale).astype(q.dtype)        # [N, N]
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    ds = (p * (dp - rs)).astype(qs.dtype)               # [N, N], scale via ks/qs
+    dq = jnp.dot(ds, ks, preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
@@ -91,11 +111,11 @@ def _spec(n, d):
     return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))
 
 
-def _fwd_call(q, k, v, scale):
+def _fwd_call(q, k, v, scale, n_valid):
     G, N, dk = q.shape
     dv = v.shape[-1]
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, n_valid=n_valid),
         grid=(G,),
         in_specs=[_spec(N, dk), _spec(N, dk), _spec(N, dv)],
         out_specs=_spec(N, dv),
@@ -104,21 +124,21 @@ def _fwd_call(q, k, v, scale):
     )(q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _attn(q, k, v, scale):
-    return _fwd_call(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attn(q, k, v, scale, n_valid):
+    return _fwd_call(q, k, v, scale, n_valid)
 
 
-def _attn_fwd(q, k, v, scale):
-    return _fwd_call(q, k, v, scale), (q, k, v)
+def _attn_fwd(q, k, v, scale, n_valid):
+    return _fwd_call(q, k, v, scale, n_valid), (q, k, v)
 
 
-def _attn_bwd(scale, res, do):
+def _attn_bwd(scale, n_valid, res, do):
     q, k, v = res
     G, N, dk = q.shape
     dv = v.shape[-1]
     dq, dk_, dv_ = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
+        functools.partial(_attn_bwd_kernel, scale=scale, n_valid=n_valid),
         grid=(G,),
         in_specs=[_spec(N, dk), _spec(N, dk), _spec(N, dv), _spec(N, dv)],
         out_specs=[_spec(N, dk), _spec(N, dk), _spec(N, dv)],
@@ -146,8 +166,17 @@ def qattention_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, Qc, H, N, dk = q.shape
     dv = v.shape[-1]
-    assert supports(N), f"N={N} unsupported (need N % 128 == 0, N <= 2048)"
+    assert supports(N), f"N={N} unsupported (need 64 <= N, padded N <= 2048)"
     G = B * Qc * H
-    out = _attn(q.reshape(G, N, dk), k.reshape(G, N, dk), v.reshape(G, N, dv),
-                scale)
-    return out.reshape(B, Qc, H, N, dv)
+    qf = q.reshape(G, N, dk)
+    kf = k.reshape(G, N, dk)
+    vf = v.reshape(G, N, dv)
+    Np = -(-N // 128) * 128
+    if Np != N:
+        # pad to a tile-legal N; masked key columns get P = 0 in-kernel, and
+        # padded query rows are sliced off below (their cotangents zero-pad
+        # through the slice VJP, keeping the custom backward exact)
+        pad = ((0, 0), (0, Np - N), (0, 0))
+        qf, kf, vf = (jnp.pad(t, pad) for t in (qf, kf, vf))
+    out = _attn(qf, kf, vf, scale, N)
+    return out[:, :N].reshape(B, Qc, H, N, dv)

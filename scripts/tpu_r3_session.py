@@ -20,6 +20,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tpu_profile_copies
 RESULTS = os.path.join(os.path.dirname(__file__), "r3_results.jsonl")
 
 
@@ -65,8 +66,9 @@ def timed_fori(fn_one, args=(), iters=10, warmups=1):
     return dt, compile_s
 
 
-def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15):
-    """Full pipeline img/s: forward + decode + rotated NMS at given config.
+def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15,
+                        yaml="yolo11n-obb-quan.yaml", rotated=True):
+    """Full pipeline img/s: forward + decode + NMS at given config.
 
     env: dict of QUAN_* overrides applied for model construction + trace.
     """
@@ -81,7 +83,7 @@ def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15):
         from quan_ultralytics_tpu.models.tasks import DetectionModel
         from quan_ultralytics_tpu.ops.boxes import non_max_suppression
 
-        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=nc, dtype=jnp.bfloat16)
+        model = DetectionModel.from_yaml(yaml, nc=nc, dtype=jnp.bfloat16)
         variables = model.init(jax.random.PRNGKey(0), imgsz=64)
         img = jax.jit(lambda k: jax.random.uniform(k, (batch, imgsz, imgsz, 3), jnp.float32))(
             jax.random.PRNGKey(1))
@@ -91,7 +93,7 @@ def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15):
             out = model.module.apply(variables, img + acc * 1e-12, train=False)
             pred = model.decode(out)
             det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
-                                          max_det=300, nc=nc, rotated=True)
+                                          max_det=300, nc=nc, rotated=rotated)
             return det.sum().astype(jnp.float32)
 
         dt, compile_s = timed_fori(one, args=(variables, img), iters=iters)
@@ -238,6 +240,266 @@ def s_train2():
             emit(section="train2", cfg=f"deep=1 b{Bt} remat={remat}", error=repr(e)[:250])
 
 
+def _train_step_ms(Bt, remat, env, iters=5):
+    """Compile + time one train-step config; returns (img_s, ms_step, compile_s)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    saved = {}
+    for k, v in (env or {}).items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                         dtype=jnp.bfloat16, remat=remat)
+        cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+        trainer = Trainer(model, cfg, steps_per_epoch=100)
+        state = trainer.init_state()
+        step_fn = trainer.make_train_step()
+        M = 64
+        batch = {
+            "img": jax.jit(lambda k: jax.random.uniform(
+                k, (Bt, 1024, 1024, 3), jnp.float32))(jax.random.PRNGKey(2)),
+            "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+            "cls": jnp.zeros((Bt, M), jnp.int32),
+            "mask": jnp.ones((Bt, M), bool),
+        }
+        t0 = time.perf_counter()
+        state, loss, aux = step_fn(state, batch)
+        float(loss)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss, aux = step_fn(state, batch)
+        float(loss)
+        dt = (time.perf_counter() - t0) / iters
+        return Bt / dt, dt * 1e3, compile_s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@section("trainattn")
+def s_trainattn():
+    # flash backward (custom VJP, e0eebf0) on chip: does the fused attention
+    # kernel help the train step, and does the freed HBM admit larger
+    # no-remat batches?
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+           "QUAN_FUSED_ATTN": "1", "QUAN_FUSED_ATTN_TRAIN": "1"}
+    for Bt, remat in ((16, False), (8, False), (24, False), (32, False)):
+        try:
+            ips, ms, cs = _train_step_ms(Bt, remat, env)
+            emit(section="trainattn", cfg=f"attn b{Bt} remat={remat}",
+                 img_s=round(ips, 1), ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="trainattn", cfg=f"attn b{Bt} remat={remat}",
+                 error=repr(e)[:250])
+
+
+@section("d640")
+def s_d640():
+    # COCO-style detect headline @640 under the round-3 opts (deep stem +
+    # micro-opts; fused attention gates off at N=400). Round-2: 1102-1168.
+    for b in (64, 128):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                b, imgsz=640, nc=80, yaml="yolo11n-quan.yaml", rotated=False,
+                env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                     "QUAN_FUSED_ATTN": "1"})
+            emit(section="d640", cfg=f"auto+deep b{b} @640", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="d640", cfg=f"auto+deep b{b} @640", error=repr(e)[:200])
+
+
+@section("batch3")
+def s_batch3():
+    # beyond 128: fused attention freed the score tensor; find the knee
+    for b in (144, 160, 192):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                b, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                        "QUAN_FUSED_ATTN": "1"})
+            emit(section="batch3", cfg=f"auto+deep+attn b{b}", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="batch3", cfg=f"auto+deep+attn b{b}", error=repr(e)[:200])
+
+
+def _profile_categories(run_fn, args, iters, tag, top_n=12):
+    """Trace run_fn(*args), emit per-hlo_category ms/iter + top self-time ops."""
+    import jax
+
+    from tpu_profile_copies import parse_trace
+
+    logdir = f"/tmp/qtrace_{tag}"
+    jax.profiler.start_trace(logdir)
+    float(run_fn(*args))
+    jax.profiler.stop_trace()
+    by_cat, by_op = parse_trace(logdir)
+    cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
+    emit(section=tag, per_iter_ms_by_category={k: round(v / iters, 2) for k, v in cats})
+    for name, (ms, n, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:top_n]:
+        emit(section=tag, op=name, ms_iter=round(ms / iters, 3), count=n,
+             long_name=long_name[:300])
+
+
+@section("profile128")
+def s_profile128():
+    import jax
+    import jax.numpy as jnp
+
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1", "QUAN_FUSED_ATTN": "1"}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+        from quan_ultralytics_tpu.ops.boxes import non_max_suppression
+
+        B, imgsz, iters = 128, 1024, 6
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
+        v = model.init(jax.random.PRNGKey(0), imgsz=64)
+        img = jax.jit(lambda k: jax.random.uniform(k, (B, imgsz, imgsz, 3), jnp.float32))(
+            jax.random.PRNGKey(1))
+        jax.block_until_ready(img)
+
+        @jax.jit
+        def run(v, img):
+            def body(i, acc):
+                pred = model.decode(model.module.apply(v, img + acc * 1e-12, train=False))
+                det, ok = non_max_suppression(pred, nc=15, rotated=True)
+                return det.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(run(v, img))  # compile + warm
+        _profile_categories(run, (v, img), iters, "profile128")
+    finally:
+        for k, vv in saved.items():
+            if vv is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = vv
+
+
+@section("trainprof24")
+def s_trainprof24():
+    # post-loss-fix profile at the measured-best train config (b24 no-remat,
+    # fused attention fwd+bwd): what remains of the 184.8 ms/step?
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+           "QUAN_FUSED_ATTN": "1"}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+        Bt = 24
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                         dtype=jnp.bfloat16, remat=False)
+        cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+        trainer = Trainer(model, cfg, steps_per_epoch=100)
+        state = trainer.init_state()
+        step_fn = trainer.make_train_step()
+        M = 64
+        batch = {
+            "img": jax.jit(lambda k: jax.random.uniform(
+                k, (Bt, 1024, 1024, 3), jnp.float32))(jax.random.PRNGKey(2)),
+            "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+            "cls": jnp.zeros((Bt, M), jnp.int32),
+            "mask": jnp.ones((Bt, M), bool),
+        }
+        state, loss, aux = step_fn(state, batch)
+        float(loss)  # compile + warm
+        jax.profiler.start_trace("/tmp/qtrace_trainprof24")
+        for _ in range(3):
+            state, loss, aux = step_fn(state, batch)
+        float(loss)
+        jax.profiler.stop_trace()
+        from tpu_profile_copies import parse_trace
+        by_cat, by_op = parse_trace("/tmp/qtrace_trainprof24")
+        cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
+        emit(section="trainprof24",
+             per_iter_ms_by_category={k: round(v / 3, 2) for k, v in cats})
+        for name, (ms, n, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:12]:
+            emit(section="trainprof24", op=name, ms_iter=round(ms / 3, 3), count=n,
+                 long_name=long_name[:300])
+    finally:
+        for k, vv in saved.items():
+            if vv is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = vv
+
+
+@section("trainprof16")
+def s_trainprof16():
+    # where does the b16 no-remat train step spend its 187 ms?
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1"}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+        Bt = 16
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                         dtype=jnp.bfloat16, remat=False)
+        cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+        trainer = Trainer(model, cfg, steps_per_epoch=100)
+        state = trainer.init_state()
+        step_fn = trainer.make_train_step()
+        M = 64
+        batch = {
+            "img": jax.jit(lambda k: jax.random.uniform(
+                k, (Bt, 1024, 1024, 3), jnp.float32))(jax.random.PRNGKey(2)),
+            "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+            "cls": jnp.zeros((Bt, M), jnp.int32),
+            "mask": jnp.ones((Bt, M), bool),
+        }
+        state, loss, aux = step_fn(state, batch)
+        float(loss)  # compile + warm
+
+        def run_once(state, batch):
+            s2, l2, _ = step_fn(state, batch)
+            return l2
+
+        import jax as _jax
+        _jax.profiler.start_trace("/tmp/qtrace_trainprof16")
+        for _ in range(3):
+            state, loss, aux = step_fn(state, batch)
+        float(loss)
+        _jax.profiler.stop_trace()
+        from tpu_profile_copies import parse_trace
+        by_cat, by_op = parse_trace("/tmp/qtrace_trainprof16")
+        cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
+        emit(section="trainprof16",
+             per_iter_ms_by_category={k: round(v / 3, 2) for k, v in cats})
+        for name, (ms, n, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:12]:
+            emit(section="trainprof16", op=name, ms_iter=round(ms / 3, 3), count=n,
+                 long_name=long_name[:300])
+    finally:
+        for k, vv in saved.items():
+            if vv is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = vv
+
+
 @section("train")
 def s_train():
     import numpy as np
@@ -285,9 +547,23 @@ def s_train():
 
 
 def main():
+    import subprocess
+
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(RESULTS)).stdout.strip()
+        dirty = bool(subprocess.run(["git", "diff", "--quiet"],
+                                    cwd=os.path.dirname(RESULTS)).returncode)
+        emit(session_rev=rev + ("+dirty" if dirty else ""))
+    except Exception:
+        pass
     names = sys.argv[1:] or ["health", "base", "deep", "batch"]
     fns = {f._section: f for f in [s_health, s_base, s_deep, s_batch, s_attn,
-                                   s_fold, s_packedimpl, s_train, s_bench128, s_train2]}
+                                   s_fold, s_packedimpl, s_train, s_bench128,
+                                   s_train2, s_trainattn, s_batch3,
+                                   s_profile128, s_trainprof16, s_trainprof24,
+                                   s_d640]}
     for n in names:
         t0 = time.perf_counter()
         try:

@@ -78,7 +78,8 @@ def test_fused_attention_matches_xla_path():
     got = qattention_fused(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
-    assert supports(128) and supports(1024) and not supports(400) and not supports(4096)
+    assert supports(128) and supports(1024) and supports(400)  # 400 pads to 512
+    assert not supports(4096) and not supports(32)
 
     # module-level: kernel on vs off, same params (eval only; N=8*16=128)
     x = jnp.asarray(rng.normal(size=(1, 8, 16, 4, 32)).astype(np.float32))
@@ -114,6 +115,44 @@ def test_fused_attention_gradients():
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         o = jnp.einsum("bqhnm,bqhmd->bqhnd", attn, v)
         return jnp.sum(o * w)
+
+    def ker_loss(q, k, v):
+        return jnp.sum(qattention_fused(q, k, v, scale) * w)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4,
+                                   atol=5e-5, err_msg=f"d{name}")
+
+
+def test_fused_attention_padded_n():
+    """Non-multiple-of-128 N (e.g. 400 at 640px) pads to the next tile size:
+    forward AND custom-VJP gradients must match the einsum path exactly
+    (masked key columns softmax to zero; padded query rows are sliced off)."""
+    import jax
+    import numpy as np
+
+    from quan_ultralytics_tpu.ops.pallas.qattn import qattention_fused
+
+    rng = np.random.default_rng(2)
+    B, Q, H, N, dk, dv = 1, 2, 2, 200, 4, 8  # N=200 -> padded 256
+    q = jnp.asarray(rng.normal(size=(B, Q, H, N, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Q, H, N, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Q, H, N, dv)).astype(np.float32))
+    scale = dk ** -0.5
+    w = jnp.asarray(rng.normal(size=(B, Q, H, N, dv)).astype(np.float32))
+
+    attn = jnp.einsum("bqhnd,bqhmd->bqhnm", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    ref = jnp.einsum("bqhnm,bqhmd->bqhnd", attn, v)
+    got = qattention_fused(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def ref_loss(q, k, v):
+        a = jnp.einsum("bqhnd,bqhmd->bqhnm", q, k) * scale
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(v.dtype)
+        return jnp.sum(jnp.einsum("bqhnm,bqhmd->bqhnd", a, v) * w)
 
     def ker_loss(q, k, v):
         return jnp.sum(qattention_fused(q, k, v, scale) * w)
