@@ -61,9 +61,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
 
 
 def supports(n: int) -> bool:
-    """Shape gate: full-row softmax in VMEM needs N (padded up to a multiple
-    of 128) that fits; below 64 tokens the XLA path is already tiny."""
-    return 64 <= n and -(-n // 128) * 128 <= 2048
+    """Shape gate: tile-multiple N that fits a full softmax row in VMEM.
+
+    Padded non-multiple N works (see qattention_fused) but MEASURED SLOWER
+    than the XLA materialized path at 640px (N=400->512: 1649 vs 1797 img/s
+    b128, 1138 vs 1226 b64 — the 1.64x padded compute plus kernel overhead
+    loses at small score tensors), so the auto-dispatch takes exact
+    multiples only; the padded path remains for direct callers."""
+    return n % 128 == 0 and 128 <= n <= 2048
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -166,7 +171,9 @@ def qattention_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, Qc, H, N, dk = q.shape
     dv = v.shape[-1]
-    assert supports(N), f"N={N} unsupported (need 64 <= N, padded N <= 2048)"
+    # feasibility (not the dispatch gate `supports`, which also excludes
+    # padded shapes that measured slower than XLA): padded N must fit VMEM
+    assert 1 <= N and -(-N // 128) * 128 <= 2048, f"N={N}: padded N > 2048"
     G = B * Qc * H
     qf = q.reshape(G, N, dk)
     kf = k.reshape(G, N, dk)

@@ -319,6 +319,25 @@ def s_d640():
             emit(section="d640", cfg=f"auto+deep b{b} @640", error=repr(e)[:200])
 
 
+@section("d640ab")
+def s_d640ab():
+    # is the padded fused attention (N=400->512) a win at 640, or is XLA's
+    # materialized path fine at the smaller score tensor?
+    for attn in ("1", "0"):
+        for b in (64, 128):
+            try:
+                ips, dt, cs = infer_pipeline_imgs(
+                    b, imgsz=640, nc=80, yaml="yolo11n-quan.yaml", rotated=False,
+                    env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                         "QUAN_FUSED_ATTN": attn})
+                emit(section="d640ab", cfg=f"attn={attn} b{b} @640",
+                     img_s=round(ips, 1), ms_iter=round(dt * 1e3, 1),
+                     compile_s=round(cs, 1))
+            except Exception as e:
+                emit(section="d640ab", cfg=f"attn={attn} b{b} @640",
+                     error=repr(e)[:200])
+
+
 @section("batch3")
 def s_batch3():
     # beyond 128: fused attention freed the score tensor; find the knee
@@ -563,7 +582,7 @@ def main():
                                    s_fold, s_packedimpl, s_train, s_bench128,
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
-                                   s_d640]}
+                                   s_d640, s_d640ab]}
     for n in names:
         t0 = time.perf_counter()
         try:

@@ -78,7 +78,9 @@ def test_fused_attention_matches_xla_path():
     got = qattention_fused(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
-    assert supports(128) and supports(1024) and supports(400)  # 400 pads to 512
+    # 400 (640px) pads to 512 but measured slower than XLA there — the
+    # auto-dispatch gate takes exact tile multiples only
+    assert supports(128) and supports(1024) and not supports(400)
     assert not supports(4096) and not supports(32)
 
     # module-level: kernel on vs off, same params (eval only; N=8*16=128)
