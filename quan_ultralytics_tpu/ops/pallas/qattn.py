@@ -15,9 +15,11 @@ tensors.
 Layout (see qconv_fused.py for the Mosaic rules learned on this backend):
 rank-3 refs with a leading singleton block dim; N rides the sublanes
 (multiple of 8), head dims ride the lanes (padded by Mosaic; they are tiny).
-N is padded up to a multiple of 128 (masked key columns softmax to zero);
-gated to 64 <= N with padded N <= 2048 (VMEM: 2 fp32 [N, N] buffers = 8 MB
-at N=1024). At 640px the P5 grid gives N=400 -> padded 512.
+Non-multiple-of-128 N is supported by padding (masked key columns softmax
+to zero) but the auto-dispatch gate (`supports`) takes exact multiples
+only — the padded path measured slower than XLA's materialized attention
+at 640px/N=400 (see `supports`). VMEM bound: 2 fp32 [N, N] buffers = 8 MB
+at N=1024; padded N <= 2048.
 """
 
 from __future__ import annotations
