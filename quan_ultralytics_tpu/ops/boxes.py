@@ -219,19 +219,48 @@ def batch_probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jn
 # Fixed-shape NMS (reference utils/ops.py:146-333)
 # ---------------------------------------------------------------------------
 
+def _probiou_pairs_over(b: jnp.ndarray, iou_threshold: float, eps: float = 1e-7) -> jnp.ndarray:
+    """All-pairs ``probiou(b_i, b_j) >= iou_threshold`` without the per-pair
+    exp/sqrt.
+
+    probiou = 1 - sqrt(1 - exp(-bd) + eps) is a strictly decreasing function
+    of the Bhattacharyya distance bd, so the threshold test is equivalent to
+    ``clip(bd, eps, 100) <= C`` with C = -log(1 - (1-thr)^2 + eps) — the
+    same boolean as thresholding `probiou` itself (monotone transforms on
+    both sides), minus two transcendentals per pair. The per-box
+    sqrt(det) is hoisted out of the N^2 chain. This pairwise fusion was
+    9.4 ms/iter of the b128@1024 inference profile.
+    """
+    x, y = b[:, 0], b[:, 1]
+    a, bb, c = _covariance(b)
+    sd = jnp.sqrt(jnp.clip(a * bb - c**2, 0))  # per box, outside the N^2 loop
+    A = a[:, None] + a[None, :]
+    Bb = bb[:, None] + bb[None, :]
+    C = c[:, None] + c[None, :]
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    den = A * Bb - C**2 + eps
+    t12 = (0.25 * (A * dy**2 + Bb * dx**2) - 0.5 * C * dx * dy) / den
+    t3 = 0.5 * jnp.log(den / (4 * sd[:, None] * sd[None, :] + eps) + eps)
+    bd = jnp.clip(t12 + t3, eps, 100.0)
+    c_thr = -math.log(1.0 - (1.0 - iou_threshold) ** 2 + eps)
+    return bd <= c_thr
+
+
 def nms_rotated(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.45) -> jnp.ndarray:
     """One-shot rotated fast-NMS (reference ops.py:146-179).
 
-    Sorts by score, computes the all-pairs probiou matrix, and keeps boxes
+    Sorts by score, computes the all-pairs probiou-threshold matrix in the
+    Bhattacharyya-distance domain (see _probiou_pairs_over), and keeps boxes
     not suppressed by any higher-scoring box. Returns a keep mask aligned
     with the *input* order (fixed shape — no dynamic gather needed).
     """
     order = jnp.argsort(-scores)
     b = boxes[order]
-    ious = batch_probiou(b, b)
+    over = _probiou_pairs_over(b, iou_threshold)
     n = boxes.shape[0]
     upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
-    suppressed = ((ious >= iou_threshold) & upper).any(axis=0)
+    suppressed = (over & upper).any(axis=0)
     keep_sorted = ~suppressed
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
     return keep

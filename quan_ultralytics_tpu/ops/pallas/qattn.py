@@ -25,6 +25,7 @@ at N=1024; padded N <= 2048.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -32,34 +33,43 @@ from jax.experimental import pallas as pl
 
 
 _NEG = -1e30  # finite -inf stand-in: exp(_NEG - m) == 0 without NaN risk
+_LOG2E = math.log2(math.e)   # exp(x) == exp2(x * log2(e)); fold into scale
+_LN2 = math.log(2.0)
 
 
-def _masked_softmax(s, n_valid):
-    """Row softmax over the first n_valid columns (rest forced to 0)."""
-    n = s.shape[-1]
+def _masked_exp_rows(s2, n_valid):
+    """exp2 row-softmax numerator + reciprocal row sum.
+
+    ``s2`` is the score matrix already in the log2 domain (the caller folds
+    ``log2(e)`` into the softmax scale), so one native exp2 per element
+    replaces exp's internal x*log2e multiply. Returns the UNNORMALIZED
+    ``e = exp2(s2 - rowmax)`` and ``r = 1/rowsum(e)`` — callers fold ``r``
+    into an [N, d]-shaped operand instead of normalizing the [N, N] matrix,
+    which saves a full VPU pass over N^2 elements (the kernel is
+    softmax/VPU-bound at dk=2: 15.4 ms/iter of the b128 profile)."""
+    n = s2.shape[-1]
     if n_valid < n:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, _NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    # reciprocal-multiply: the broadcast divide over [N, N] is slower VPU work
-    return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+        s2 = jnp.where(col < n_valid, s2, _NEG)
+    m = jnp.max(s2, axis=-1, keepdims=True)
+    e = jnp.exp2(s2 - m)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [N, 1]
+    return e, r
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    # fold the softmax scale into the [N, dk] operand — scaling the [N, N]
-    # score matrix instead costs a full extra VPU pass (the kernel is
-    # softmax/VPU-bound at dk=2: 15.4 ms/iter of the b128 profile)
-    q = q_ref[0] * scale  # [N, dk]
+    # fold softmax scale AND log2(e) into the [N, dk] operand — scaling the
+    # [N, N] score matrix instead costs a full extra VPU pass
+    q = q_ref[0] * (scale * _LOG2E)  # [N, dk]
     k = k_ref[0]  # [N, dk]
     v = v_ref[0]  # [N, dv]
-    s = jax.lax.dot_general(
+    s2 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [N, N] fp32
-    p = _masked_softmax(s, n_valid)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    )  # [N, N] fp32, log2 domain
+    e, r = _masked_exp_rows(s2, n_valid)
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o * r).astype(o_ref.dtype)  # normalize on [N, dv], not [N, N]
 
 
 def supports(n: int) -> bool:
@@ -87,27 +97,37 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dK rows at pad vanish; padded query rows carry dO = 0 (the output slice's
     VJP zero-pads), so their dS row is 0.
     """
-    qs = q_ref[0] * scale  # scale folded into the [N, dk] operands (see fwd)
+    # All [N, N] work stays UNNORMALIZED (e = softmax numerator); the row
+    # reciprocal r folds into [N, d]-shaped operands instead — with P = r∘E:
+    #   dV = P^T dO            = E^T (r∘dO)
+    #   dP = dO V^T            (bf16 MXU inputs, f32 accumulation: bf16
+    #                           products are exact in f32, so this matches
+    #                           the cast-to-f32 matmul it replaces)
+    #   dS = P o (dP - rowsum(dP o P)) = r ∘ [E o (dP - r*rowsum(dP o E))]
+    #   dQ = scale * dS K  = r ∘ (U Ks)          with U = E o (...)
+    #   dK = scale * dS^T Q = U^T (r*ln2 ∘ Qs2)  (Qs2 carries scale*log2e)
+    q2 = q_ref[0] * (scale * _LOG2E)  # [N, dk], log2-domain scores (see fwd)
     ks = k_ref[0] * scale
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        qs, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    do = do_ref[0]
+    s2 = jax.lax.dot_general(
+        q2, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = _masked_softmax(s, n_valid)                     # [N, N] f32
-    pb = p.astype(v.dtype)
+    e, r = _masked_exp_rows(s2, n_valid)                # [N, N] f32, [N, 1]
+    eb = e.astype(v.dtype)
+    dor = (do.astype(jnp.float32) * r).astype(do.dtype)  # [N, dv]
     dv = jax.lax.dot_general(
-        pb, do_ref[0], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        eb, dor, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [N, dv]
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [N, N]
-    rs = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = (p * (dp - rs)).astype(qs.dtype)               # [N, N], scale via ks/qs
-    dq = jnp.dot(ds, ks, preferred_element_type=jnp.float32)
+    rse = jnp.sum(dp * e, axis=-1, keepdims=True)       # rowsum(dP o E)
+    u = (e * (dp - r * rse)).astype(q2.dtype)           # [N, N]
+    dq = jnp.dot(u, ks, preferred_element_type=jnp.float32) * r
     dk = jax.lax.dot_general(
-        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        u, q2 * (r * _LN2), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)

@@ -67,10 +67,13 @@ def timed_fori(fn_one, args=(), iters=10, warmups=1):
 
 
 def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15,
-                        yaml="yolo11n-obb-quan.yaml", rotated=True):
+                        yaml="yolo11n-obb-quan.yaml", rotated=True,
+                        input_u8=False):
     """Full pipeline img/s: forward + decode + NMS at given config.
 
     env: dict of QUAN_* overrides applied for model construction + trace.
+    input_u8: feed device-resident uint8 frames and normalize in-pipeline
+    (predictor semantics; the u8 HBM read is 4x smaller than f32).
     """
     import jax
     import jax.numpy as jnp
@@ -85,12 +88,22 @@ def infer_pipeline_imgs(batch, imgsz=1024, iters=10, env=None, nc=15,
 
         model = DetectionModel.from_yaml(yaml, nc=nc, dtype=jnp.bfloat16)
         variables = model.init(jax.random.PRNGKey(0), imgsz=64)
-        img = jax.jit(lambda k: jax.random.uniform(k, (batch, imgsz, imgsz, 3), jnp.float32))(
-            jax.random.PRNGKey(1))
+        shape = (batch, imgsz, imgsz, 3)
+        if input_u8:
+            img = jax.jit(lambda k: jax.random.randint(k, shape, 0, 256, jnp.uint8))(
+                jax.random.PRNGKey(1))
+        else:
+            img = jax.jit(lambda k: jax.random.uniform(k, shape, jnp.float32))(
+                jax.random.PRNGKey(1))
         jax.block_until_ready(img)
 
         def one(variables, img, acc):
-            out = model.module.apply(variables, img + acc * 1e-12, train=False)
+            if input_u8:
+                x = img + (acc * 1e-12).astype(jnp.uint8)  # carry dep, runtime 0
+                x = x.astype(jnp.float32) / 255.0          # predictor.py:82
+            else:
+                x = img + acc * 1e-12
+            out = model.module.apply(variables, x, train=False)
             pred = model.decode(out)
             det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
                                           max_det=300, nc=nc, rotated=rotated)
@@ -519,6 +532,52 @@ def s_trainprof16():
                 os.environ[k] = vv
 
 
+@section("opt5")
+def s_opt5():
+    # attention fwd: exp2 + normalize-on-[N,dv] (no [N,N] normalize pass);
+    # rotated NMS thresholded in the bd domain (no per-pair exp/sqrt).
+    # Reference points (226-240 TFLOP/s calib): b128 903.2, b96 ~700.
+    for b in (128, 96):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                b, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                        "QUAN_FUSED_ATTN": "1"})
+            emit(section="opt5", cfg=f"attnv2+nmsbd b{b}", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="opt5", cfg=f"attnv2+nmsbd b{b}", error=repr(e)[:200])
+
+
+@section("u8in")
+def s_u8in():
+    # uint8 device input + in-pipeline /255 (predictor semantics): the input
+    # HBM read drops 1.2 GB at b128 IF XLA fuses the convert into the
+    # mapping chain. A/B against the f32-input opt5 number.
+    try:
+        ips, dt, cs = infer_pipeline_imgs(
+            128, env={"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+                      "QUAN_FUSED_ATTN": "1"}, input_u8=True)
+        emit(section="u8in", cfg="u8 input b128", img_s=round(ips, 1),
+             ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+    except Exception as e:
+        emit(section="u8in", cfg="u8 input b128", error=repr(e)[:200])
+
+
+@section("trainopt")
+def s_trainopt():
+    # new flash backward (unnormalized-E folding, bf16 dP matmul) on chip.
+    # Reference points: b16 125.6->134.7, b24 129.8->135.8 (fourth session).
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+           "QUAN_FUSED_ATTN": "1"}
+    for Bt in (24, 16, 32):
+        try:
+            ips, ms, cs = _train_step_ms(Bt, False, env)
+            emit(section="trainopt", cfg=f"attnv2 b{Bt}", img_s=round(ips, 1),
+                 ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="trainopt", cfg=f"attnv2 b{Bt}", error=repr(e)[:250])
+
+
 @section("train")
 def s_train():
     import numpy as np
@@ -582,7 +641,8 @@ def main():
                                    s_fold, s_packedimpl, s_train, s_bench128,
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
-                                   s_d640, s_d640ab]}
+                                   s_d640, s_d640ab, s_opt5, s_trainopt,
+                                   s_u8in]}
     for n in names:
         t0 = time.perf_counter()
         try:

@@ -67,3 +67,30 @@ def test_bbox_iou_basic():
     b = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [5.0, 0.0, 15.0, 10.0], [20.0, 20.0, 30.0, 30.0]])
     iou = np.asarray(bbox_iou(a[:, None, :], b[None, :, :], xywh=False))[0]
     np.testing.assert_allclose(iou, [1.0, 1.0 / 3.0, 0.0], atol=1e-5)
+
+
+def test_nms_rotated_bd_domain_matches_probiou_threshold():
+    """nms_rotated thresholds in the Bhattacharyya-distance domain
+    (_probiou_pairs_over); the keep mask must equal the direct
+    probiou-matrix fast-NMS it replaces (monotone-transform equivalence)."""
+    from quan_ultralytics_tpu.ops.boxes import batch_probiou, nms_rotated
+
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        n = 96
+        ctr = rng.rand(n, 2) * 40.0
+        wh = 5.0 + rng.rand(n, 2) * 25.0
+        ang = (rng.rand(n, 1) - 0.5) * np.pi
+        boxes = np.concatenate([ctr, wh, ang], axis=-1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        for thr in (0.3, 0.45, 0.7):
+            got = np.asarray(nms_rotated(jnp.asarray(boxes), jnp.asarray(scores), thr))
+            # oracle: one-shot fast-NMS on the actual probiou matrix
+            order = np.argsort(-scores)
+            b = jnp.asarray(boxes[order])
+            ious = np.asarray(batch_probiou(b, b))
+            upper = np.triu(np.ones((n, n), dtype=bool), k=1)
+            suppressed = ((ious >= thr) & upper).any(axis=0)
+            ref = np.zeros(n, dtype=bool)
+            ref[order] = ~suppressed
+            np.testing.assert_array_equal(got, ref, err_msg=f"trial={trial} thr={thr}")
