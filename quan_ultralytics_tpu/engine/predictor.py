@@ -22,8 +22,9 @@ from quan_ultralytics_tpu.ops.boxes import non_max_suppression, regularize_rboxe
 
 @dataclass
 class Results:
-    """Minimal Results analog (reference engine/results.py:187, OBB :1596,
-    Masks :1305, Keypoints :1417)."""
+    """Results analog (reference engine/results.py:187, OBB :1596,
+    Masks :1305, Keypoints :1417) with the user-facing surface:
+    plot / verbose / save_txt / summary / tojson."""
 
     orig_shape: tuple
     boxes: np.ndarray      # detect/segment/pose: [n, 6] xyxy+conf+cls;
@@ -32,6 +33,7 @@ class Results:
     task: str = "detect"
     masks: Optional[np.ndarray] = None      # segment: [n, h0, w0] bool
     keypoints: Optional[np.ndarray] = None  # pose: [n, nk, 3] orig-px + vis
+    orig_img: Optional[np.ndarray] = None   # RGB source frame (for plot())
 
     @property
     def xyxy(self):
@@ -51,6 +53,118 @@ class Results:
 
     def __len__(self):
         return self.boxes.shape[0]
+
+    def _name(self, c: int) -> str:
+        return self.names[c] if self.names and c < len(self.names) else str(c)
+
+    def _corners(self) -> np.ndarray:
+        """OBB corner form [n, 4, 2] (reference results.py OBB.xyxyxyxy)."""
+        from quan_ultralytics_tpu.ops.boxes import xywhr2xyxyxyxy
+
+        return np.asarray(xywhr2xyxyxyxy(jnp.asarray(self.boxes[:, :5])))
+
+    def plot(self, filename: Optional[str] = None) -> np.ndarray:
+        """Annotate detections (+ masks/keypoints) on the source image;
+        optionally save to ``filename`` (reference results.py:484)."""
+        from quan_ultralytics_tpu.utils.plotting import Annotator
+
+        if self.orig_img is None:
+            raise ValueError("Results.plot needs orig_img (predict stores it)")
+        im = self.orig_img.copy()
+        if self.masks is not None and len(self.masks):
+            for i, mk in enumerate(self.masks):
+                color = np.array([(37 * (i + 1)) % 255, (97 * (i + 1)) % 255,
+                                  (173 * (i + 1)) % 255], np.uint8)
+                im[mk] = (0.6 * im[mk] + 0.4 * color).astype(np.uint8)
+        ann = Annotator(im, self.names)
+        for row in self.boxes:
+            c = int(row[-1])
+            label = f"{self._name(c)} {row[-2]:.2f}"
+            (ann.obb_label if self.task == "obb" else ann.box_label)(
+                row[:5] if self.task == "obb" else row[:4], label, c)
+        if self.keypoints is not None:
+            import cv2
+
+            for k in self.keypoints:
+                for x, y, v in k:
+                    if v > 0.5:
+                        cv2.circle(ann.im, (int(x), int(y)), 3, (0, 255, 0), -1)
+        out = ann.result()
+        if filename:
+            import cv2
+
+            cv2.imwrite(str(filename), cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+        return out
+
+    def verbose(self) -> str:
+        """Per-class count string, '4 persons, 1 bus, ' style
+        (reference results.py:599 Results.verbose)."""
+        if not len(self):
+            return "(no detections), "
+        counts: Dict[int, int] = {}
+        for c in self.cls.astype(int):
+            counts[c] = counts.get(c, 0) + 1
+        return "".join(f"{n} {self._name(c)}{'s' * (n > 1)}, "
+                       for c, n in sorted(counts.items()))
+
+    def save_txt(self, txt_file: Union[str, Path], save_conf: bool = False) -> None:
+        """Reference label format (results.py:620 Results.save_txt):
+        detect/segment/pose 'cls xc yc w h [conf]' normalized; OBB
+        'cls x1 y1 ... x4 y4 [conf]' normalized corners; pose appends
+        'x y vis' per keypoint."""
+        h0, w0 = self.orig_shape
+        lines = []
+        corners = self._corners() if self.task == "obb" else None
+        for i, row in enumerate(self.boxes):
+            c, conf = int(row[-1]), float(row[-2])
+            if self.task == "obb":
+                vals = (corners[i] / np.array([w0, h0])).reshape(-1).tolist()
+            else:
+                x1, y1, x2, y2 = row[:4]
+                vals = [(x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0,
+                        (x2 - x1) / w0, (y2 - y1) / h0]
+            if self.keypoints is not None:
+                k = self.keypoints[i].copy().astype(np.float64)
+                k[:, 0] /= w0
+                k[:, 1] /= h0
+                vals += k.reshape(-1).tolist()
+            if save_conf:
+                vals.append(conf)
+            lines.append(" ".join([str(c)] + [f"{v:.6g}" for v in vals]))
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        with open(txt_file, "a") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+
+    def summary(self, decimals: int = 5) -> List[Dict]:
+        """List-of-dicts form (reference results.py:700 Results.summary)."""
+        out = []
+        corners = self._corners() if self.task == "obb" else None
+        for i, row in enumerate(self.boxes):
+            c = int(row[-1])
+            item: Dict = {"name": self._name(c), "class": c,
+                          "confidence": round(float(row[-2]), decimals)}
+            if self.task == "obb":
+                item["box"] = {k: round(float(v), decimals) for k, v in zip(
+                    ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"),
+                    corners[i].reshape(-1))}
+            else:
+                item["box"] = {k: round(float(v), decimals)
+                               for k, v in zip(("x1", "y1", "x2", "y2"), row[:4])}
+            if self.keypoints is not None:
+                k = self.keypoints[i]
+                item["keypoints"] = {
+                    "x": [round(float(v), decimals) for v in k[:, 0]],
+                    "y": [round(float(v), decimals) for v in k[:, 1]],
+                    "visible": [round(float(v), decimals) for v in k[:, 2]],
+                }
+            out.append(item)
+        return out
+
+    def tojson(self, decimals: int = 5) -> str:
+        """JSON string of summary() (reference results.py:735 Results.to_json)."""
+        import json
+
+        return json.dumps(self.summary(decimals=decimals), indent=2)
 
 
 class Predictor:
@@ -155,7 +269,8 @@ class Predictor:
                 keypoints[..., 0] = np.clip((keypoints[..., 0] - dw) / r, 0, w0)
                 keypoints[..., 1] = np.clip((keypoints[..., 1] - dh) / r, 0, h0)
             results.append(Results((h0, w0), boxes, self.names, task,
-                                   masks=masks, keypoints=keypoints))
+                                   masks=masks, keypoints=keypoints,
+                                   orig_img=np.asarray(images[b])))
         return results
 
     def _process_masks(self, mc, proto, boxes_orig, h0, w0, r, dw, dh):

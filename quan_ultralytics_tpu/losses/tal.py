@@ -81,12 +81,30 @@ def _exact_topk_idx(metrics: jnp.ndarray, topk: int, chunk: int = 128) -> jnp.nd
 def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
     """Reference select_topk_candidates (tal.py:160-193) incl. its index-0
     collision quirk: invalid rows scatter all their k picks onto index 0,
-    and any count > 1 is dropped."""
+    and any count > 1 is dropped.
+
+    ``lax.top_k`` indices within a row are distinct, so for VALID rows the
+    reference's collision counter can never exceed 1 and its count>1 drop is
+    a no-op; for INVALID rows all k picks collide on index 0 and (k > 1) the
+    row is dropped entirely.  Scattering ``valid_gt`` with a max-combiner
+    therefore reproduces the reference mask exactly while replacing the
+    ``one_hot(idx, A).sum`` lowering — k compare-add passes over the dense
+    [B, M, A] metric tensor (part of the 40.6 ms/step loop-fusion bucket in
+    trainprof24) — with one [B, M, A] zero-fill plus a B*M*k-element scatter.
+    (The k == 1 edge case, where the reference KEEPS an invalid row's pick
+    at index 0, does not matter downstream: the assigner multiplies by
+    mask_gt; we still reproduce it by scattering 0 for invalid rows.)
+    """
     B, M, A = metrics.shape
-    idx = _exact_topk_idx(metrics, topk)  # [B, M, k]
-    idx = jnp.where(valid_gt[..., None], idx, 0)
-    count = jax.nn.one_hot(idx, A, dtype=jnp.int32).sum(axis=2)  # [B, M, A]
-    return jnp.where(count > 1, 0, count).astype(metrics.dtype)
+    idx = _exact_topk_idx(metrics, topk)  # [B, M, k], distinct within a row
+    val = jnp.broadcast_to(valid_gt[..., None], idx.shape).astype(metrics.dtype)
+    if topk == 1:
+        val = jnp.ones_like(val)  # reference keeps the single index-0 pick
+        idx = jnp.where(valid_gt[..., None], idx, 0)
+    mask = jnp.zeros((B, M, A), metrics.dtype)
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    mi = jnp.arange(M, dtype=jnp.int32)[None, :, None]
+    return mask.at[bi, mi, idx].max(val)
 
 
 @partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta", "rotated"))
@@ -122,9 +140,13 @@ def task_aligned_assigner(
     # Alignment metric (tal.py:137-156): score of each anchor for the gt
     # class, times IoU, both zeroed outside the candidate mask.
     gt_lab = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
-    scores_for_gt = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1), gt_lab[..., None], axis=1
-    )  # [B, M, A]
+    # per-gt class-score rows as a one-hot contraction (exact: each output
+    # element is a single product) — the take_along_axis gather over the
+    # class axis lowers to a kCustom gather over the dense [B, M, A] tensor,
+    # while the [B, M, nc] x [B, A, nc] einsum rides the MXU.
+    lab_oh = jax.nn.one_hot(gt_lab, nc, dtype=jnp.float32)  # [B, M, nc]
+    scores_for_gt = jnp.einsum("bmn,ban->bma", lab_oh, pd_scores,
+                               precision=jax.lax.Precision.HIGHEST)  # [B, M, A]
     bbox_scores = jnp.where(mask, scores_for_gt, 0.0)
     overlaps = jnp.where(mask, overlaps_fn(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0.0)
     align_metric = bbox_scores**alpha * overlaps**beta

@@ -260,3 +260,45 @@ def test_instances_algebra():
     inst.convert_bbox("xywh")
     keep = inst.remove_zero_area_boxes()
     assert keep.all() and len(inst) == 1
+
+
+def test_results_api(tmp_path):
+    """Results user surface: plot/verbose/save_txt/summary/tojson
+    (reference engine/results.py:484,599,620,700,735)."""
+    import json
+
+    from quan_ultralytics_tpu.engine.predictor import Results
+
+    im = np.zeros((80, 100, 3), np.uint8)
+    boxes = np.array([[10, 20, 50, 60, 0.9, 1], [30, 30, 70, 70, 0.8, 1],
+                      [5, 5, 20, 20, 0.7, 0]], np.float32)
+    r = Results((80, 100), boxes, names=["cat", "dog"], task="detect", orig_img=im)
+    assert r.verbose() == "1 cat, 2 dogs, "
+    out = r.plot(filename=str(tmp_path / "ann.jpg"))
+    assert out.shape == im.shape and (tmp_path / "ann.jpg").exists()
+    assert out.any(), "plot drew nothing"
+    txt = tmp_path / "labels.txt"
+    r.save_txt(txt, save_conf=True)
+    lines = txt.read_text().strip().split("\n")
+    assert len(lines) == 3
+    c, xc, yc, w, h, conf = lines[0].split()
+    assert (int(c), float(conf)) == (1, 0.9)
+    np.testing.assert_allclose([float(xc), float(yc), float(w), float(h)],
+                               [30 / 100, 40 / 80, 40 / 100, 40 / 80], atol=1e-5)
+    s = json.loads(r.tojson())
+    assert s[0]["name"] == "dog" and s[0]["box"]["x2"] == 50.0
+
+    # OBB: normalized 8-corner rows, axis-aligned case is checkable by hand
+    ob = np.array([[50, 40, 20, 10, 0.0, 0.95, 0]], np.float32)
+    ro = Results((80, 100), ob, names=["plane"], task="obb", orig_img=im)
+    ro.save_txt(tmp_path / "obb.txt")
+    vals = [float(v) for v in (tmp_path / "obb.txt").read_text().split()]
+    assert vals[0] == 0 and len(vals) == 9
+    xs, ys = vals[1::2], vals[2::2]
+    np.testing.assert_allclose(sorted(set(np.round(xs, 5))), [0.4, 0.6], atol=1e-5)
+    np.testing.assert_allclose(sorted(set(np.round(ys, 5))), [35 / 80, 45 / 80], atol=1e-5)
+    assert ro.summary()[0]["name"] == "plane"
+    # empty results
+    r0 = Results((80, 100), np.zeros((0, 6), np.float32), task="detect", orig_img=im)
+    assert r0.verbose() == "(no detections), "
+    r0.save_txt(tmp_path / "empty.txt")

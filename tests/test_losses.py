@@ -169,3 +169,30 @@ def test_obb_loss_empty_gt_finite():
     g = jax.grad(lambda fs: obb_loss((fs, angles), batch, (8, 16, 32), nc=nc)[0])(feats)
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_select_topk_mask_scatter_matches_onehot_oracle():
+    """_select_topk_mask scatters valid_gt with a max combiner; it must equal
+    the reference semantics (one_hot(idx).sum with the count>1 drop and the
+    invalid-row index-0 collision quirk) for every (valid pattern, k)."""
+    from quan_ultralytics_tpu.losses.tal import _exact_topk_idx, _select_topk_mask
+
+    rng = np.random.RandomState(11)
+    B, M, A = 2, 5, 700  # A > 4*chunk exercises the chunked top-k path
+    metrics = jnp.asarray(rng.rand(B, M, A).astype(np.float32))
+    # ties: duplicate a few columns so tie-breaking is exercised
+    metrics = metrics.at[..., 100:110].set(metrics[..., 0:10])
+    for k in (1, 2, 10):
+        for pattern in range(3):
+            valid = rng.rand(B, M) > (0.0, 0.5, 1.1)[pattern]  # all/some/none
+            valid_gt = jnp.asarray(valid)
+            got = np.asarray(_select_topk_mask(metrics, k, valid_gt))
+            # oracle: literal reference semantics
+            idx = np.asarray(_exact_topk_idx(metrics, k))
+            idx = np.where(valid[..., None], idx, 0)
+            count = np.zeros((B, M, A), np.int64)
+            for b in range(B):
+                for m in range(M):
+                    np.add.at(count[b, m], idx[b, m], 1)
+            ref = np.where(count > 1, 0, count).astype(np.float32)
+            np.testing.assert_array_equal(got, ref, err_msg=f"k={k} pattern={pattern}")
