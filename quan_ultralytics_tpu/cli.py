@@ -103,10 +103,25 @@ def main(argv=None):
         res = model.val(data, **kv)
         print(res)
     elif mode == "predict":
+        # reference predictor per-image verbose line + save/save_txt flags
+        # (engine/predictor.py:222-306, results.py save_txt/plot)
+        from pathlib import Path
+
         source = kv.pop("source")
+        save = kv.pop("save", False)
+        save_txt = kv.pop("save_txt", False)
+        save_conf = kv.pop("save_conf", False)
+        save_dir = Path(kv.pop("save_dir", "runs/predict"))
         results = model.predict(source, **kv)
-        for r in results:
-            print(f"{len(r)} detections", r.boxes[:10])
+        for i, r in enumerate(results):
+            print(f"image {i + 1}/{len(results)} {r.orig_shape[1]}x{r.orig_shape[0]} "
+                  f"{r.verbose()}")
+            if save:
+                save_dir.mkdir(parents=True, exist_ok=True)
+                r.plot(filename=str(save_dir / f"im{i}.jpg"))
+            if save_txt:
+                (save_dir / "labels").mkdir(parents=True, exist_ok=True)
+                r.save_txt(save_dir / "labels" / f"im{i}.txt", save_conf=save_conf)
     elif mode == "export":
         # reference cfg/__init__.py MODES 'export' -> Model.export (:851)
         path = model.export(**kv)

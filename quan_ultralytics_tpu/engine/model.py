@@ -133,9 +133,10 @@ class YOLO:
     def val(self, data: Union[str, Dict], split: str = "val", imgsz: int = 640,
             batch: int = 8, conf: float = 0.001, iou: float = 0.7,
             save_json: Optional[str] = None, save_submission: Optional[str] = None,
-            cache: Optional[str] = None, rect: bool = False) -> Dict[str, float]:
+            cache: Optional[str] = None, rect: bool = False,
+            mesh=None) -> Dict[str, float]:
         ds = YOLODataset(data, split=split, task=self.task, cache=cache)
-        validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou)
+        validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou, mesh=mesh)
         out = validator(self._ensure_variables(), ds, batch_size=batch,
                         save_json=save_json, save_submission=save_submission,
                         rect=rect)

@@ -170,13 +170,16 @@ class Results:
 class Predictor:
     def __init__(self, model: DetectionModel, imgsz: int = 640,
                  conf: float = 0.25, iou: float = 0.45, max_det: int = 300,
-                 names: Optional[List[str]] = None):
+                 names: Optional[List[str]] = None, mesh=None):
         self.model = model
         self.imgsz = imgsz
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
         self.names = names
+        # optional jax.sharding.Mesh: shard the frame batch over the data
+        # axis for multi-chip batch prediction (see engine/validator.py)
+        self.mesh = mesh
         rotated = model.task == "obb"
         # per-anchor payload columns riding through NMS (reference ops.py nm=)
         if model.task == "segment":
@@ -237,6 +240,11 @@ class Predictor:
                 batch.append(lb.astype(np.float32) / 255.0)
             meta.append((h0, w0, r, dw, dh))
         x = jnp.asarray(np.stack(batch))
+        if self.mesh is not None:
+            from quan_ultralytics_tpu.parallel.mesh import replicate, shard_batch
+
+            variables = replicate(self.mesh, variables)
+            x = shard_batch(self.mesh, x)
         det, ok, proto = self._infer(variables, x)
         det, ok, proto = np.asarray(det), np.asarray(ok), np.asarray(proto)
 

@@ -27,12 +27,18 @@ from quan_ultralytics_tpu.utils.metrics import DetMetrics
 
 class Validator:
     def __init__(self, model: DetectionModel, imgsz: int = 640,
-                 conf: float = 0.001, iou: float = 0.7, max_det: int = 300):
+                 conf: float = 0.001, iou: float = 0.7, max_det: int = 300,
+                 mesh=None):
         self.model = model
         self.imgsz = imgsz
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
+        # optional jax.sharding.Mesh: shard each eval batch over the data
+        # axis (params replicated); GSPMD partitions forward+decode+NMS with
+        # no code changes — the TPU-native analog of the reference's
+        # multi-GPU val. tests/test_mesh.py asserts sharded == single-device.
+        self.mesh = mesh
         rotated = model.task == "obb"
         if model.task == "segment":
             self.extra_dim = model.specs[-1].args[1]  # nm
@@ -89,11 +95,20 @@ class Validator:
 
             submission = DOTASubmission(ds.names)
         image_idx = 0
+        if self.mesh is not None:
+            from quan_ultralytics_tpu.parallel.mesh import replicate
+
+            variables = replicate(self.mesh, variables)
         for batch in build_dataloader(ds, batch_size, self.imgsz, hyp=None,
                                       max_labels=max_labels, augment=False,
                                       shuffle=False, drop_last=False, with_meta=True,
                                       rect=rect):
-            det, ok, proto = self._infer(variables, jnp.asarray(batch["img"]))
+            img = jnp.asarray(batch["img"])
+            if self.mesh is not None:
+                from quan_ultralytics_tpu.parallel.mesh import shard_batch
+
+                img = shard_batch(self.mesh, img)
+            det, ok, proto = self._infer(variables, img)
             det, ok, proto = np.asarray(det), np.asarray(ok), np.asarray(proto)
             Hb, Wb = batch["img"].shape[1:3]  # == (imgsz, imgsz) unless rect
             # the tail batch pads by repeating indices; don't double-count

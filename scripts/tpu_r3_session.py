@@ -578,6 +578,130 @@ def s_trainopt():
             emit(section="trainopt", cfg=f"attnv2 b{Bt}", error=repr(e)[:250])
 
 
+def _task_train_step_ms(yaml, task_extra, Bt, imgsz, env, iters=5, nc=80):
+    """Train-step timing for seg/pose (task read from the YAML's head)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    saved = {}
+    for k, v in (env or {}).items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+        model = DetectionModel.from_yaml(yaml, nc=nc, dtype=jnp.bfloat16)
+        cfg = TrainConfig(epochs=10, batch=Bt, imgsz=imgsz, nbs=Bt)
+        trainer = Trainer(model, cfg, steps_per_epoch=100)
+        state = trainer.init_state()
+        step_fn = trainer.make_train_step()
+        M = 32
+        rnd = np.random.RandomState(0)
+        batch = {
+            "img": jax.jit(lambda k: jax.random.uniform(
+                k, (Bt, imgsz, imgsz, 3), jnp.float32))(jax.random.PRNGKey(2)),
+            "bboxes": jnp.asarray(rnd.rand(Bt, M, 4).astype(np.float32) * 0.3 + 0.1),
+            "cls": jnp.zeros((Bt, M), jnp.int32),
+            "mask": jnp.ones((Bt, M), bool),
+        }
+        if task_extra == "masks":
+            Hp = imgsz // 4
+            batch["masks"] = jnp.asarray(
+                (rnd.rand(Bt, M, Hp, Hp) > 0.7).astype(np.float32))
+        elif task_extra == "keypoints":
+            k = rnd.rand(Bt, M, 17, 3).astype(np.float32)
+            k[..., 2] = 1.0
+            batch["keypoints"] = jnp.asarray(k)
+        t0 = time.perf_counter()
+        state, loss, aux = step_fn(state, batch)
+        float(loss)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss, aux = step_fn(state, batch)
+        float(loss)
+        dt = (time.perf_counter() - t0) / iters
+        return Bt / dt, dt * 1e3, compile_s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@section("segpose")
+def s_segpose():
+    # seg/pose task coverage on chip: full-pipeline inference @640 + one
+    # train-step config each (COCO-style nc=80/nc=1-kpt heads).
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+           "QUAN_FUSED_ATTN": "1"}
+    for yaml, task, nc in (("yolo11n-seg-quan.yaml", "segment", 80),
+                           ("yolo11n-pose-quan.yaml", "pose", 1)):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                128, imgsz=640, env=env, nc=nc, yaml=yaml, rotated=False)
+            emit(section="segpose", cfg=f"{task} infer b128 @640",
+                 img_s=round(ips, 1), ms_iter=round(dt * 1e3, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="segpose", cfg=f"{task} infer b128 @640",
+                 error=repr(e)[:250])
+    for yaml, extra, nc, Bt in (("yolo11n-seg-quan.yaml", "masks", 80, 64),
+                                ("yolo11n-pose-quan.yaml", "keypoints", 1, 64)):
+        try:
+            ips, ms, cs = _task_train_step_ms(yaml, extra, Bt, 640, env, nc=nc)
+            emit(section="segpose", cfg=f"{extra} train b{Bt} @640",
+                 img_s=round(ips, 1), ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="segpose", cfg=f"{extra} train b{Bt} @640",
+                 error=repr(e)[:250])
+
+
+@section("cls")
+def s_cls():
+    # classification stack on chip: Q-WRN-16-2 CIFAR-shape train + eval
+    # throughput (the reference's cls headlines are accuracy-only; these are
+    # the first TPU wall-clock numbers for the stack).
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from quan_ultralytics_tpu.classification.train import ClsConfig, ClsTrainer
+
+    for model_name, bs in (("qwrn16_2", 1024), ("qwrn16_2", 512),
+                           ("qrn18", 512)):
+        try:
+            cfg = ClsConfig(model=model_name, batch_size=bs, num_classes=10)
+            trainer = ClsTrainer(cfg, steps_per_epoch=100)
+            state = trainer.init_state(input_size=32)
+            step_fn = trainer.make_train_step()
+            rng = jax.random.PRNGKey(0)
+            batch = {
+                "img": jax.jit(lambda k: jax.random.uniform(
+                    k, (bs, 32, 32, 3), jnp.float32))(jax.random.PRNGKey(3)),
+                "label": jnp.zeros((bs,), jnp.int32),
+            }
+            t0 = time.perf_counter()
+            state, loss, acc = step_fn(state, batch, rng)
+            float(loss)
+            cs = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            iters = 20
+            for _ in range(iters):
+                state, loss, acc = step_fn(state, batch, rng)
+            float(loss)
+            dt = (time.perf_counter() - t0) / iters
+            emit(section="cls", cfg=f"{model_name} train b{bs} @32",
+                 img_s=round(bs / dt, 1), ms_step=round(dt * 1e3, 2),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="cls", cfg=f"{model_name} train b{bs} @32",
+                 error=repr(e)[:250])
+
+
 @section("train")
 def s_train():
     import numpy as np
@@ -642,7 +766,7 @@ def main():
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
                                    s_d640, s_d640ab, s_opt5, s_trainopt,
-                                   s_u8in]}
+                                   s_u8in, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()
         try:

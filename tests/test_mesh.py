@@ -198,3 +198,31 @@ def test_sharded_grad_accum_matches_single_device():
     assert changed, "accumulate=2 applied no update after 2 micro-steps"
     _leaves_allclose(s_state.params, u_state.params, 1e-3, 2e-5, "params")
     _leaves_allclose(s_state.ema_params, u_state.ema_params, 1e-3, 2e-5, "ema")
+
+
+def test_sharded_inference_matches_single_device():
+    """Sharded batch inference (forward + decode + NMS under GSPMD) returns
+    the same detections as the single-device path — the Validator/Predictor
+    mesh= option (engine/validator.py, engine/predictor.py)."""
+    from quan_ultralytics_tpu.ops.boxes import non_max_suppression
+
+    model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3,
+                                     dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 64, 64, 3).astype(np.float32))
+
+    @jax.jit
+    def infer(v, img):
+        out = model.module.apply(v, img, train=False)
+        pred = model.decode(out)
+        return non_max_suppression(pred, conf_thres=0.001, iou_thres=0.7,
+                                   max_det=50, nc=3, rotated=True)
+
+    mesh = make_mesh(8)
+    det_s, ok_s = infer(replicate(mesh, variables), shard_batch(mesh, x))
+    dev0 = jax.devices()[0]
+    det_u, ok_u = infer(jax.device_put(variables, dev0), jax.device_put(x, dev0))
+
+    np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_u))
+    np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_u),
+                               rtol=1e-4, atol=1e-4)
