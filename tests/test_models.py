@@ -127,3 +127,28 @@ class TestFullModel:
         v = model.init(jax.random.PRNGKey(0), imgsz=64)
         n = n_params(v["params"])
         assert n == 693840 - 256 - 16, f"param count {n}"
+
+
+def test_model_scales_parse_and_run():
+    """The s/m scale variants (reference yolo11.yaml:11-15 scales table)
+    resolve to correct widths/depths and run a forward pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from quan_ultralytics_tpu.models.tasks import (DetectionModel, parse_model,
+                                                   resolve_model_cfg)
+
+    cfg, scale = resolve_model_cfg("yolo11s-obb-quan.yaml")
+    assert scale == "s"
+    specs, save, nc = parse_model(cfg, scale, nc=15)
+    # s-scale width 0.50: layer 0 = 64*0.50 = 32 total quaternion channels
+    assert specs[0].args[1] == 32
+    # m-scale: width 1.00 with max_channels 512 caps layer 7/8 at 512
+    cfg_m, _ = resolve_model_cfg("yolo11m-obb-quan.yaml")
+    specs_m, _, _ = parse_model(cfg_m, "m", nc=15)
+    assert specs_m[7].args[1] == 512
+
+    m = DetectionModel.from_yaml("yolo11s-obb-quan.yaml", nc=15)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    feats, angles = m.module.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert len(feats) == 3 and angles[0].shape[0] == 1
