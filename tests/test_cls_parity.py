@@ -182,3 +182,108 @@ def test_qdense_classifier_parity(cls_pair):
     qd = QDense(4 * C, 40, mapping_type="poincare")
     got = qd.apply({"params": ported["params"]["classifier"]}, jnp.asarray(f))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_qresnet18_full_parity():
+    """QResNet-18 (raw-input-shortcut QuaternionBasicBlock + 2-layer QDense
+    head, reference quaternion_models.py:336-412): ported backbone matches,
+    and the FULL logits match when the reference head is evaluated with the
+    component-major layout its quarter-splits assume."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(REF))
+    from models.quaternion_models import create_qrn_18
+
+    from quan_ultralytics_tpu.classification.models import create_model
+
+    tm = create_qrn_18(num_classes=10, drop_rate=0.0, mapping_type="poincare")
+    tm.eval()
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if hasattr(mod, "running_mean") and hasattr(mod, "gamma"):
+                mod.running_mean.normal_(0.0, 0.05, generator=g)
+                mod.running_var.uniform_(0.8, 1.2, generator=g)
+                mod.gamma.uniform_(0.8, 1.2, generator=g)
+                mod.beta.normal_(0.0, 0.05, generator=g)
+
+    jm = create_model("qrn18", 10, drop_rate=0.0)
+    variables = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        train=False)
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sd = {n: p.detach().cpu().numpy() for n, p in tm.named_parameters()}
+    sd.update({n: b.detach().cpu().numpy() for n, b in tm.named_buffers()})
+
+    def tprefix(parent):
+        out = []
+        for t in parent:
+            if t == "stem_conv":
+                out.append("conv1.0")
+            elif t == "stem_bn":
+                out.append("conv1.1")
+            elif t.startswith("stage") and "_block" in t:
+                s, b = t.replace("stage", "").split("_block")
+                out.append(f"stage{s}.{b}")
+            elif t == "fc1":
+                out.append("classifier.1")
+            elif t == "fc2":
+                out.append("classifier.3")
+            else:
+                out.append(t)
+        return ".".join(out)
+
+    ported = {}
+    for coll, tree in variables.items():
+        flat = flatten_dict(tree)
+        p = {}
+        for path, leaf in flat.items():
+            parent, name = path[:-1], path[-1]
+            prefix = tprefix(parent)
+            if parent and parent[-1] in ("fc1", "fc2"):
+                if name == "w":
+                    v = np.stack([sd[f"{prefix}.linear_r{c}.weight"].T for c in "rijk"])
+                else:
+                    v = np.stack([sd[f"{prefix}.linear_r{c}.bias"] for c in "rijk"])
+            elif name == "w":
+                v = np.stack([sd[f"{prefix}.weight_{c}"].transpose(2, 3, 1, 0)
+                              for c in "rijk"])
+            elif name == "b":
+                v = sd[f"{prefix}.bias_r"]
+            elif name in ("gamma", "beta"):
+                v = sd[f"{prefix}.{name}"].T
+            elif name in ("mean", "var"):
+                v = sd[f"{prefix}.running_{name}"].T
+            else:  # pragma: no cover
+                raise AssertionError(f"unmapped leaf {path}")
+            assert v.shape == leaf.shape, (path, v.shape, leaf.shape)
+            p[path] = np.asarray(v, np.float32)
+        ported[coll] = unflatten_dict(p)
+
+    n_torch = sum(q.numel() for q in tm.parameters())
+    n_ours = sum(x.size for x in jax.tree_util.tree_leaves(ported["params"]))
+    assert n_torch == n_ours
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = tm.conv1(tx)
+        s3 = tm.stage3(tm.stage2(tm.stage1(h)))
+        pooled = tm.avg_pool(s3)  # [B, C, 1, 1, 4]
+        # component-major flatten (q*C + c): the layout the QDense
+        # quarter-split logic assumes
+        fq = pooled[:, :, 0, 0, :].permute(0, 2, 1).reshape(2, -1)
+        z = torch.nn.functional.silu(tm.classifier[1](fq))
+        o = tm.classifier[3](z)  # q-major flat [B, 4*10]
+        ref_logits = torch.linalg.norm(o.view(2, 4, 10), dim=1).numpy()
+
+    got_logits, inter = jm.apply(
+        ported, jnp.asarray(x), train=False, mutable=[],
+        capture_intermediates=lambda mdl, fn: fn == "__call__")
+    s3_ours = np.asarray(inter["intermediates"]["stage3_block1"]["__call__"][0])
+    np.testing.assert_allclose(s3_ours, _to_bhwqc(s3), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_logits), ref_logits,
+                               rtol=1e-3, atol=1e-4)
