@@ -116,3 +116,86 @@ def port_torch_model(torch_model, variables: Dict[str, Any]) -> Dict[str, Any]:
     sd = {n: p.detach().cpu().numpy() for n, p in torch_model.named_parameters()}
     sd.update({n: b.detach().cpu().numpy() for n, b in torch_model.named_buffers()})
     return port_state_dict(sd, variables)
+
+
+# ---------------------------------------------------------------------------
+# Classification stack (reference classification/models/quaternion_models.py)
+# ---------------------------------------------------------------------------
+
+def _cls_prefix(parent, wrn: bool) -> str:
+    """Flax path -> torch module path for the classification families.
+
+    QWideResNet:  stage{s}_block{b} -> stage{s}.layer.{b}; classifier ->
+                  classifier.1 (Sequential(Flatten, QDense)).
+    QResNet:      stem_conv/stem_bn -> conv1.0/conv1.1; stage{s}_block{b} ->
+                  stage{s}.{b}; fc1/fc2 -> classifier.1/classifier.3.
+    Verified weight-for-weight in tests/test_cls_parity.py.
+    """
+    out = []
+    for t in parent:
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", t)
+        if m:
+            s, b = m.groups()
+            out.append(f"stage{s}.layer.{b}" if wrn else f"stage{s}.{b}")
+        elif t == "stem_conv":
+            out.append("conv1.0")
+        elif t == "stem_bn":
+            out.append("conv1.1")
+        elif t == "classifier":
+            out.append("classifier.1")
+        elif t == "fc1":
+            out.append("classifier.1")
+        elif t == "fc2":
+            out.append("classifier.3")
+        else:
+            out.append(t)
+    return ".".join(out)
+
+
+def port_cls_state_dict(sd: Mapping[str, np.ndarray], variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Port a reference CLASSIFICATION state_dict (Q-WRN / Q-ResNet families)
+    into our flax pytree. Covers QConv2D (4x OIHW -> [4,kh,kw,ci,co]), IQBN
+    ([C,4] -> [4,C]), and QDense (4x nn.Linear -> w [4,fi,fo], b [4,fo])."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    def fetch(name):
+        assert name in sd, f"torch param {name!r} not found in state_dict"
+        return np.asarray(sd[name])
+
+    # family: the QResNet variants name their stem 'stem_conv'; QWideResNet
+    # starts directly with 'conv1' (see classification/models.py)
+    wrn = "stem_conv" not in variables.get("params", {})
+    out = {}
+    for coll, tree in variables.items():
+        flat = flatten_dict(tree)
+        ported = {}
+        for path, leaf in flat.items():
+            parent, name = path[:-1], path[-1]
+            prefix = _cls_prefix(parent, wrn)
+            dense = parent and parent[-1] in ("classifier", "fc1", "fc2")
+            if dense and name == "w":
+                v = np.stack([fetch(f"{prefix}.linear_r{c}.weight").T for c in "rijk"])
+            elif dense and name == "b":
+                v = np.stack([fetch(f"{prefix}.linear_r{c}.bias") for c in "rijk"])
+            elif name == "w":
+                v = np.stack([fetch(f"{prefix}.weight_{c}").transpose(2, 3, 1, 0)
+                              for c in "rijk"])
+            elif name == "b":
+                v = fetch(f"{prefix}.bias_r")
+            elif name in ("gamma", "beta"):
+                v = fetch(f"{prefix}.{name}").T
+            elif name in ("mean", "var"):
+                v = fetch(f"{prefix}.running_{name}").T
+            else:  # pragma: no cover
+                raise AssertionError(f"unmapped flax leaf {path}")
+            assert v.shape == leaf.shape, (path, v.shape, leaf.shape)
+            ported[path] = np.asarray(v, np.float32)
+        out[coll] = unflatten_dict(ported)
+    return out
+
+
+def port_cls_torch_model(torch_model, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Convenience: port a live reference classification module."""
+    sd = {n: p.detach().cpu().numpy() for n, p in torch_model.named_parameters()}
+    sd.update({n: b.detach().cpu().numpy() for n, b in torch_model.named_buffers()})
+    return port_cls_state_dict(sd, variables)

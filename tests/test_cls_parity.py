@@ -56,58 +56,9 @@ def cls_pair():
     jm = create_model("qwrn16_2", 10)
     variables = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
                         train=False)
-    ported = _port(tm, variables)
+    from quan_ultralytics_tpu.utils.torch_port import port_cls_torch_model
+    ported = port_cls_torch_model(tm, variables)
     return tm, jm, ported
-
-
-def _port(tm, variables):
-    """Bespoke flax-path -> torch-name port for the classification stack."""
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    sd = {n: p.detach().cpu().numpy() for n, p in tm.named_parameters()}
-    sd.update({n: b.detach().cpu().numpy() for n, b in tm.named_buffers()})
-
-    def tprefix(parent):
-        out = []
-        for t in parent:
-            if t.startswith("stage") and "_block" in t:
-                s, b = t.replace("stage", "").split("_block")
-                out.append(f"stage{s}.layer.{b}")
-            elif t == "classifier":
-                out.append("classifier.1")  # Sequential(Flatten, QDense)
-            else:
-                out.append(t)
-        return ".".join(out)
-
-    out = {}
-    for coll, tree in variables.items():
-        flat = flatten_dict(tree)
-        ported = {}
-        for path, leaf in flat.items():
-            parent, name = path[:-1], path[-1]
-            prefix = tprefix(parent)
-            if parent and parent[-1] == "classifier":
-                if name == "w":  # [4, fi, fo] <- 4x nn.Linear [fo, fi]
-                    v = np.stack([sd[f"{prefix}.linear_r{c}.weight"].T
-                                  for c in "rijk"])
-                else:  # b [4, fo]
-                    v = np.stack([sd[f"{prefix}.linear_r{c}.bias"]
-                                  for c in "rijk"])
-            elif name == "w":  # QConv2D [4, kh, kw, cin, cout] <- 4x OIHW
-                v = np.stack([sd[f"{prefix}.weight_{c}"].transpose(2, 3, 1, 0)
-                              for c in "rijk"])
-            elif name == "b":
-                v = sd[f"{prefix}.bias_r"]
-            elif name in ("gamma", "beta"):  # IQBN [4, C] <- [C, 4]
-                v = sd[f"{prefix}.{name}"].T
-            elif name in ("mean", "var"):
-                v = sd[f"{prefix}.running_{name}"].T
-            else:  # pragma: no cover
-                raise AssertionError(f"unmapped leaf {path}")
-            assert v.shape == leaf.shape, (path, v.shape, leaf.shape)
-            ported[path] = np.asarray(v, np.float32)
-        out[coll] = unflatten_dict(ported)
-    return out
 
 
 def _to_bhwqc(t):
@@ -196,6 +147,7 @@ def test_qresnet18_full_parity():
     from models.quaternion_models import create_qrn_18
 
     from quan_ultralytics_tpu.classification.models import create_model
+    from quan_ultralytics_tpu.utils.torch_port import port_cls_torch_model
 
     tm = create_qrn_18(num_classes=10, drop_rate=0.0, mapping_type="poincare")
     tm.eval()
@@ -211,56 +163,7 @@ def test_qresnet18_full_parity():
     jm = create_model("qrn18", 10, drop_rate=0.0)
     variables = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
                         train=False)
-
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    sd = {n: p.detach().cpu().numpy() for n, p in tm.named_parameters()}
-    sd.update({n: b.detach().cpu().numpy() for n, b in tm.named_buffers()})
-
-    def tprefix(parent):
-        out = []
-        for t in parent:
-            if t == "stem_conv":
-                out.append("conv1.0")
-            elif t == "stem_bn":
-                out.append("conv1.1")
-            elif t.startswith("stage") and "_block" in t:
-                s, b = t.replace("stage", "").split("_block")
-                out.append(f"stage{s}.{b}")
-            elif t == "fc1":
-                out.append("classifier.1")
-            elif t == "fc2":
-                out.append("classifier.3")
-            else:
-                out.append(t)
-        return ".".join(out)
-
-    ported = {}
-    for coll, tree in variables.items():
-        flat = flatten_dict(tree)
-        p = {}
-        for path, leaf in flat.items():
-            parent, name = path[:-1], path[-1]
-            prefix = tprefix(parent)
-            if parent and parent[-1] in ("fc1", "fc2"):
-                if name == "w":
-                    v = np.stack([sd[f"{prefix}.linear_r{c}.weight"].T for c in "rijk"])
-                else:
-                    v = np.stack([sd[f"{prefix}.linear_r{c}.bias"] for c in "rijk"])
-            elif name == "w":
-                v = np.stack([sd[f"{prefix}.weight_{c}"].transpose(2, 3, 1, 0)
-                              for c in "rijk"])
-            elif name == "b":
-                v = sd[f"{prefix}.bias_r"]
-            elif name in ("gamma", "beta"):
-                v = sd[f"{prefix}.{name}"].T
-            elif name in ("mean", "var"):
-                v = sd[f"{prefix}.running_{name}"].T
-            else:  # pragma: no cover
-                raise AssertionError(f"unmapped leaf {path}")
-            assert v.shape == leaf.shape, (path, v.shape, leaf.shape)
-            p[path] = np.asarray(v, np.float32)
-        ported[coll] = unflatten_dict(p)
+    ported = port_cls_torch_model(tm, variables)
 
     n_torch = sum(q.numel() for q in tm.parameters())
     n_ours = sum(x.size for x in jax.tree_util.tree_leaves(ported["params"]))
