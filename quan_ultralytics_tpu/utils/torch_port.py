@@ -122,27 +122,34 @@ def port_torch_model(torch_model, variables: Dict[str, Any]) -> Dict[str, Any]:
 # Classification stack (reference classification/models/quaternion_models.py)
 # ---------------------------------------------------------------------------
 
-def _cls_prefix(parent, wrn: bool) -> str:
+def _cls_prefix(parent, family: str) -> str:
     """Flax path -> torch module path for the classification families.
 
-    QWideResNet:  stage{s}_block{b} -> stage{s}.layer.{b}; classifier ->
-                  classifier.1 (Sequential(Flatten, QDense)).
-    QResNet:      stem_conv/stem_bn -> conv1.0/conv1.1; stage{s}_block{b} ->
-                  stage{s}.{b}; fc1/fc2 -> classifier.1/classifier.3.
+    wrn_cifar       (QWideResNet):     stage{s}_block{b} -> stage{s}.layer.{b};
+                    classifier -> classifier.1 (Sequential(Flatten, QDense)).
+    resnet_cifar    (QResNetCIFAR):    stem_conv/stem_bn -> conv1.0/conv1.1;
+                    stage{s}_block{b} -> stage{s}.{b};
+                    fc1/fc2 -> classifier.1/classifier.3.
+    imagenet_resnet (QResNetImageNet): like resnet_cifar but the single
+                    classifier -> classifier.2 (Sequential(Flatten, Dropout,
+                    QDense), reference quaternion_models.py:204-209).
+    imagenet_wrn    (QWideResNetImageNet): like imagenet_resnet but stages
+                    nest as stage{s}.layer.{b} (QWideResNetBlock).
     Verified weight-for-weight in tests/test_cls_parity.py.
     """
+    layered = family in ("wrn_cifar", "imagenet_wrn")
     out = []
     for t in parent:
         m = re.fullmatch(r"stage(\d+)_block(\d+)", t)
         if m:
             s, b = m.groups()
-            out.append(f"stage{s}.layer.{b}" if wrn else f"stage{s}.{b}")
+            out.append(f"stage{s}.layer.{b}" if layered else f"stage{s}.{b}")
         elif t == "stem_conv":
             out.append("conv1.0")
         elif t == "stem_bn":
             out.append("conv1.1")
         elif t == "classifier":
-            out.append("classifier.1")
+            out.append("classifier.1" if family == "wrn_cifar" else "classifier.2")
         elif t == "fc1":
             out.append("classifier.1")
         elif t == "fc2":
@@ -152,26 +159,36 @@ def _cls_prefix(parent, wrn: bool) -> str:
     return ".".join(out)
 
 
-def port_cls_state_dict(sd: Mapping[str, np.ndarray], variables: Dict[str, Any]) -> Dict[str, Any]:
+def port_cls_state_dict(sd: Mapping[str, np.ndarray], variables: Dict[str, Any],
+                        family: str = None) -> Dict[str, Any]:
     """Port a reference CLASSIFICATION state_dict (Q-WRN / Q-ResNet families)
     into our flax pytree. Covers QConv2D (4x OIHW -> [4,kh,kw,ci,co]), IQBN
-    ([C,4] -> [4,C]), and QDense (4x nn.Linear -> w [4,fi,fo], b [4,fo])."""
+    ([C,4] -> [4,C]), and QDense (4x nn.Linear -> w [4,fi,fo], b [4,fo]).
+
+    family: one of _cls_prefix's families; auto-detected from the variables
+    tree when None — pass "imagenet_wrn" explicitly for QWRN-50-2 (its param
+    tree is indistinguishable from the ImageNet QResNet's)."""
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     def fetch(name):
         assert name in sd, f"torch param {name!r} not found in state_dict"
         return np.asarray(sd[name])
 
-    # family: the QResNet variants name their stem 'stem_conv'; QWideResNet
-    # starts directly with 'conv1' (see classification/models.py)
-    wrn = "stem_conv" not in variables.get("params", {})
+    params = variables.get("params", {})
+    if family is None:
+        if "fc1" in params:
+            family = "resnet_cifar"
+        elif "stem_conv" in params:
+            family = "imagenet_resnet"
+        else:
+            family = "wrn_cifar"
     out = {}
     for coll, tree in variables.items():
         flat = flatten_dict(tree)
         ported = {}
         for path, leaf in flat.items():
             parent, name = path[:-1], path[-1]
-            prefix = _cls_prefix(parent, wrn)
+            prefix = _cls_prefix(parent, family)
             dense = parent and parent[-1] in ("classifier", "fc1", "fc2")
             if dense and name == "w":
                 v = np.stack([fetch(f"{prefix}.linear_r{c}.weight").T for c in "rijk"])
@@ -194,8 +211,9 @@ def port_cls_state_dict(sd: Mapping[str, np.ndarray], variables: Dict[str, Any])
     return out
 
 
-def port_cls_torch_model(torch_model, variables: Dict[str, Any]) -> Dict[str, Any]:
+def port_cls_torch_model(torch_model, variables: Dict[str, Any],
+                         family: str = None) -> Dict[str, Any]:
     """Convenience: port a live reference classification module."""
     sd = {n: p.detach().cpu().numpy() for n, p in torch_model.named_parameters()}
     sd.update({n: b.detach().cpu().numpy() for n, b in torch_model.named_buffers()})
-    return port_cls_state_dict(sd, variables)
+    return port_cls_state_dict(sd, variables, family=family)

@@ -30,6 +30,19 @@ REF = Path("/root/reference/classification")
 pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout unavailable")
 
 
+def _randomize_bn(tm, seed):
+    """Perturb BN affine + running stats so the [C,4]<->[4,C] transposes are
+    actually exercised (defaults are ones/zeros)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if hasattr(mod, "running_mean") and hasattr(mod, "gamma"):
+                mod.running_mean.normal_(0.0, 0.05, generator=g)
+                mod.running_var.uniform_(0.8, 1.2, generator=g)
+                mod.gamma.uniform_(0.8, 1.2, generator=g)
+                mod.beta.normal_(0.0, 0.05, generator=g)
+
+
 @pytest.fixture(scope="module")
 def cls_pair():
     sys.path.insert(0, str(REF))
@@ -190,3 +203,52 @@ def test_qresnet18_full_parity():
     np.testing.assert_allclose(s3_ours, _to_bhwqc(s3), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got_logits), ref_logits,
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch,ref_factory,family", [
+    ("qrn34_imagenet", "create_qrn34_imagenet", None),       # auto-detected
+    ("qwrn50_2", "create_qwrn_50_2_imagenet", "imagenet_wrn"),
+])
+def test_imagenet_variant_full_parity(arch, ref_factory, family):
+    """ImageNet variants (reference quaternion_models.py:173-333): ported
+    full logits match at a small input (64px; both graphs are global-pooled
+    so the spatial size is free), with the corrected-layout head."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(REF))
+    import models.quaternion_models as qm
+
+    from quan_ultralytics_tpu.classification.models import create_model
+    from quan_ultralytics_tpu.utils.torch_port import port_cls_torch_model
+
+    nc = 10  # small head keeps the test light; widths stay the real ones
+    tm = getattr(qm, ref_factory)(num_classes=nc, mapping_type="poincare")
+    tm.eval()
+    _randomize_bn(tm, 2)
+
+    jm = create_model(arch, nc, drop_rate=0.0)
+    variables = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        train=False)
+    ported = port_cls_torch_model(tm, variables, family=family)
+
+    n_torch = sum(p.numel() for p in tm.parameters())
+    n_ours = sum(x.size for x in jax.tree_util.tree_leaves(ported["params"]))
+    assert n_torch == n_ours
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = tm.maxpool(tm.conv1(tx))
+        for s in (tm.stage1, tm.stage2, tm.stage3, tm.stage4):
+            h = s(h)
+        pooled = tm.avg_pool(h)  # [B, C, 1, 1, 4]
+        fq = pooled[:, :, 0, 0, :].permute(0, 2, 1).reshape(2, -1)  # q-major
+        qdense = tm.classifier[-1]
+        o = qdense(fq)
+        ref_logits = torch.linalg.norm(o.view(2, 4, nc), dim=1).numpy()
+
+    got_logits = jm.apply(ported, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got_logits), ref_logits,
+                               rtol=2e-3, atol=2e-4)
