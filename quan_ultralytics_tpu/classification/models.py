@@ -232,6 +232,42 @@ class QWideResNetImageNet(nn.Module):
         return quaternion_norm_logits(x)
 
 
+class QWRN16ImageNet(nn.Module):
+    """ImageNet WRN-16 (reference QWRN16_4I, quaternion_models.py:512-569):
+    64-wide 7x7/2 stem + maxpool, THREE wide stages of n=2 blocks at widths
+    64*k*(1,2,4) (the reference sets width_factor=2 internally despite the
+    '16_4' name), dropout + QDense head."""
+
+    width_factor: int = 2
+    num_classes: int = 1000
+    drop_rate: float = 0.2
+    mapping_type: str = "poincare"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bw, k = 64, self.width_factor
+        widths = [bw * k, bw * 2 * k, bw * 4 * k]
+        x = QConv2D(3, bw, 7, 2, 3, mapping_type=self.mapping_type,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.silu(IQBN(bw, dtype=self.dtype, name="stem_bn")(x, train))
+        x = qmax_pool(x, 3, 2, 1)
+        cin = bw
+        for s, (w, stride) in enumerate(zip(widths, (1, 2, 2))):
+            for b in range(2):
+                x = QWideBasicBlock(
+                    cin if b == 0 else w, w, stride if b == 0 else 1,
+                    self.drop_rate, self.mapping_type, self.dtype,
+                    name=f"stage{s + 1}_block{b}",
+                )(x, train)
+            cin = w
+        x = qavg_pool_global(x, keepdims=False)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = QDense(widths[-1], self.num_classes * 4, mapping_type=self.mapping_type,
+                   dtype=self.dtype, name="classifier")(x)
+        return quaternion_norm_logits(x)
+
+
 MODEL_FACTORIES: Dict[str, Callable[..., nn.Module]] = {
     # reference CLI names (classification.py:43-291)
     "qwrn16_2": lambda nc, drop, mt, dtype=None: QWideResNet(16, 2, nc, drop, mt, dtype),
@@ -240,7 +276,9 @@ MODEL_FACTORIES: Dict[str, Callable[..., nn.Module]] = {
     "qrn18": lambda nc, drop, mt, dtype=None: QResNetCIFAR((2, 2, 2), nc, drop, 16, mt, dtype),
     "qrn34": lambda nc, drop, mt, dtype=None: QResNetCIFAR((3, 4, 6), nc, drop, 16, mt, dtype),
     "qrn34_imagenet": lambda nc, drop, mt, dtype=None: QResNetImageNet((3, 4, 6, 3), nc, drop, 64, mt, dtype),
+    "qrn18_i": lambda nc, drop, mt, dtype=None: QResNetImageNet((2, 2, 2, 2), nc, drop, 64, mt, dtype),
     "qwrn50_2": lambda nc, drop, mt, dtype=None: QWideResNetImageNet(2, nc, drop, mt, dtype),
+    "qwrn16_4i": lambda nc, drop, mt, dtype=None: QWRN16ImageNet(2, nc, drop, mt, dtype),
 }
 
 

@@ -207,7 +207,9 @@ def test_qresnet18_full_parity():
 
 @pytest.mark.parametrize("arch,ref_factory,family", [
     ("qrn34_imagenet", "create_qrn34_imagenet", None),       # auto-detected
+    ("qrn18_i", "create_qrn18_imagenet", None),
     ("qwrn50_2", "create_qwrn_50_2_imagenet", "imagenet_wrn"),
+    ("qwrn16_4i", "create_qwrn16_4_imagenet", "imagenet_wrn"),
 ])
 def test_imagenet_variant_full_parity(arch, ref_factory, family):
     """ImageNet variants (reference quaternion_models.py:173-333): ported
@@ -241,8 +243,10 @@ def test_imagenet_variant_full_parity(arch, ref_factory, family):
     tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
     with torch.no_grad():
         h = tm.maxpool(tm.conv1(tx))
-        for s in (tm.stage1, tm.stage2, tm.stage3, tm.stage4):
-            h = s(h)
+        for i in (1, 2, 3, 4):  # QWRN16_4I has three stages, the rest four
+            stage = getattr(tm, f"stage{i}", None)
+            if stage is not None:
+                h = stage(h)
         pooled = tm.avg_pool(h)  # [B, C, 1, 1, 4]
         fq = pooled[:, :, 0, 0, :].permute(0, 2, 1).reshape(2, -1)  # q-major
         qdense = tm.classifier[-1]
