@@ -29,7 +29,7 @@ A100_PROXY_IMG_S = 400.0
 TARGET = 2 * A100_PROXY_IMG_S
 
 
-def main():
+def _measure():
     import os
 
     # best measured config (see CLAUDE.md round-3 A/Bs @1024 b96):
@@ -77,6 +77,36 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     img_per_s = batch / dt
 
+    return img_per_s
+
+
+def main():
+    # The remote-compile helper pool intermittently 500s and the tunnel can
+    # wedge after process churn (CLAUDE.md); one bounded retry in a FRESH
+    # process protects the round-end measurement from a transient failure.
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("QUAN_BENCH_CHILD") == "1":
+        img_per_s = _measure()
+    else:
+        try:
+            img_per_s = _measure()
+        except Exception as e:
+            print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
+                  f"process in 60s", file=sys.stderr)
+            time.sleep(60)
+            env = dict(os.environ, QUAN_BENCH_CHILD="1")
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=1800)
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            if out.returncode == 0 and line.startswith("{"):
+                print(line)
+                return
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise
     print(json.dumps({
         "metric": "quan_yolo11n_obb_infer_imgs_per_sec_at_1024",
         "value": round(img_per_s, 2),

@@ -101,10 +101,20 @@ class YOLO:
             return validator(state.variables(ema=True), val_ds, batch_size=batch)
 
         out_dir = Path(save_dir)
+        # callback bus: CSV results + TensorBoard + any importable logger
+        # integration (reference Model.train wires add_integration_callbacks)
+        from quan_ultralytics_tpu.utils.integrations import build_callbacks
+
+        callbacks = build_callbacks(save_dir, args={
+            "data": data if isinstance(data, str) else "<dict>",
+            "epochs": epochs, "batch": batch, "imgsz": imgsz,
+            "task": self.task, "model": self.model_yaml, **overrides,
+        })
         state = trainer.fit(
             state, train_loader, validate_fn=validate, epochs=epochs,
             start_epoch=start_epoch, save_dir=save_dir,
             close_mosaic_hook=close_mosaic_hook, close_mosaic=close_mosaic, log=log,
+            callbacks=callbacks,
         )
         # keep facade-format checkpoints too, and load best like reference
         # Model.train (:812-815)

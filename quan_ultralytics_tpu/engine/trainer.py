@@ -310,14 +310,21 @@ class Trainer:
         step_fn = self._train_step or self.make_train_step()
         self._train_step = step_fn
         epochs = epochs or self.cfg.epochs
-        best_fitness, best_epoch = -1.0, -1
+        # None = "no best yet": the first epoch always becomes best, even
+        # under the no-validator fallback fitness=-loss (reference
+        # BaseTrainer.best_fitness starts None, trainer.py:431-434)
+        best_fitness, best_epoch = None, -1
         history = []
         out = Path(save_dir) if save_dir else None
         if out:
             out.mkdir(parents=True, exist_ok=True)
+        if callbacks is not None:
+            callbacks.run("on_train_start")
         for epoch in range(start_epoch, epochs):
             if close_mosaic_hook and epoch == max(epochs - close_mosaic, 0):
                 close_mosaic_hook(epoch)  # reference close_mosaic (trainer.py:354)
+            if callbacks is not None:
+                callbacks.run("on_train_epoch_start")
             t0 = time.time()
             losses = []
             # background thread converts + device_puts the NEXT batches while
@@ -338,18 +345,24 @@ class Trainer:
             row["fitness"] = fitness
             history.append(row)
             if callbacks is not None:
+                callbacks.run("on_train_epoch_end")
                 callbacks.run("on_fit_epoch_end", row)
             log(f"epoch {epoch}: " + " ".join(f"{k}={v:.4g}" for k, v in row.items() if k != "epoch"))
             if out:
                 self.save_checkpoint(out / "last.ckpt", state, epoch)
-                if fitness > best_fitness:
+                if best_fitness is None or fitness > best_fitness:
                     best_fitness, best_epoch = fitness, epoch
                     self.save_checkpoint(out / "best.ckpt", state, epoch)
                 (out / "results.json").write_text(json.dumps(history, indent=2))
+                if callbacks is not None:
+                    callbacks.run("on_model_save", out / "last.ckpt")
             if epoch - best_epoch > self.cfg.patience:
                 log(f"early stopping: no fitness improvement in {self.cfg.patience} epochs")
                 break
         self.history = history
+        if callbacks is not None:
+            callbacks.run("on_train_end",
+                          (out / "best.ckpt") if out and (out / "best.ckpt").exists() else None)
         return state
 
     def save_checkpoint(self, path, state: TrainState, epoch: int) -> None:

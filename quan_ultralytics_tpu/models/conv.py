@@ -134,12 +134,22 @@ class QConv2D(nn.Module):
             in_dtype = self.dtype or x.dtype
             x = x.astype(in_dtype)
         if packed_first:
-            # mapping + r=4 space-to-depth fused: the narrow 1024-grid input
-            # never materializes (see ops/stem.py)
-            from quan_ultralytics_tpu.ops.stem import s2d4_rgb_mapped
+            import os as _os
 
             assert x.ndim == 4 and x.shape[-1] == 3
-            x = s2d4_rgb_mapped(x, self.mapping_type)
+            if self.packed == "out" and _os.environ.get("QUAN_STEM_L0") == "fine":
+                # A/B alternative: no input pre-pack — layer 0 consumes the
+                # mapped fine grid directly as the (ri=1, ro=2) instance of
+                # expand_w_packed (a k=5, s=4 conv; ~2.6x fewer FLOPs than
+                # the pre-packed k=2 form and no pack transpose, but the
+                # narrow fine-grid input is XLA's to lay out)
+                x = rgb_to_quaternion(x, self.mapping_type)
+            else:
+                # mapping + r=4 space-to-depth fused: the narrow 1024-grid
+                # input never materializes (see ops/stem.py)
+                from quan_ultralytics_tpu.ops.stem import s2d4_rgb_mapped
+
+                x = s2d4_rgb_mapped(x, self.mapping_type)
             cin = 1
         elif first:
             assert x.ndim == 4 and x.shape[-1] == 3, f"RGB first layer expects NHWC, got {x.shape}"
@@ -183,7 +193,10 @@ class QConv2D(nn.Module):
             assert self.g == 1 and self.d in (1, (1, 1)), "packed conv: g=1, d=1 only"
             ri, ro = {"in": (2, 1), "out": (1, 2), "both": (2, 2)}[self.packed]
             if packed_first:
-                ri = 4  # r=4-packed RGB input (s2d4_rgb_mapped)
+                # cin=1 on the RGB layer, so the packed channel count tells
+                # the input packing: 16 = r=4 pre-pack (s2d4_rgb_mapped),
+                # 1 = unpacked fine grid (QUAN_STEM_L0=fine)
+                ri = {16: 4, 1: 1}[x.shape[-1]]
             return qconv2d_packed(
                 x.astype(dtype), w, b,
                 stride=self.s, padding=pad, ri=ri, ro=ro,

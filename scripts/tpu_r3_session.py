@@ -548,6 +548,23 @@ def s_opt5():
             emit(section="opt5", cfg=f"attnv2+nmsbd b{b}", error=repr(e)[:200])
 
 
+@section("l0fine")
+def s_l0fine():
+    # layer-0 A/B: QUAN_STEM_L0=fine (k5/s4 conv on the mapped fine grid,
+    # ~2.6x fewer L0 FLOPs, no pack transpose — the 6.5 ms/iter
+    # maximum_bitcast+copy pair at b128) vs the default r=4 pre-pack.
+    base = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+            "QUAN_FUSED_ATTN": "1"}
+    for name, env in (("fine", {**base, "QUAN_STEM_L0": "fine"}),
+                      ("prepack", base)):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(128, env=env)
+            emit(section="l0fine", cfg=f"l0={name} b128", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="l0fine", cfg=f"l0={name} b128", error=repr(e)[:200])
+
+
 @section("u8in")
 def s_u8in():
     # uint8 device input + in-pipeline /255 (predictor semantics): the input
@@ -765,7 +782,7 @@ def main():
                                    s_fold, s_packedimpl, s_train, s_bench128,
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
-                                   s_d640, s_d640ab, s_opt5, s_trainopt,
+                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine,
                                    s_u8in, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()

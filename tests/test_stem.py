@@ -266,3 +266,23 @@ def test_phase0_packed_input_matches():
     got = qconv2d_phase0_packed(packed_in, w, b)
     assert got.shape == ref_packed.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed), rtol=1e-4, atol=1e-4)
+
+
+def test_stem_l0_fine_matches_prepack(monkeypatch):
+    """QUAN_STEM_L0=fine (layer 0 as the ri=1 k5/s4 conv on the mapped fine
+    grid, no input pre-pack) equals the default r=4 pre-packed layer 0."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    mod_deep = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
+                        mapping_type=m.module.mapping_type, stem_deep=True)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = mod_deep.init(jax.random.PRNGKey(0), x, train=False)
+    feats_pre, ang_pre = mod_deep.apply(v, x, train=False)
+    monkeypatch.setenv("QUAN_STEM_L0", "fine")
+    feats_fine, ang_fine = mod_deep.apply(v, x, train=False)
+    for a, b in zip(feats_fine + ang_fine, feats_pre + ang_pre):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
