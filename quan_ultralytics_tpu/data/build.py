@@ -162,7 +162,10 @@ def _format(im, corners, cls, task: str, imgsz, max_labels: int, vis=None):
         out_cls[:n] = cls[:n]
         out_mask[:n] = True
     return {
-        "img": (im.astype(np.float32) / 255.0),
+        # uint8: the host->device transfer is 4x smaller than f32; consumers
+        # (trainer.loss_fn, Validator.infer, Predictor) normalize ON DEVICE
+        # with the bit-identical f32/255 -> compute-dtype cast
+        "img": im,
         "bboxes": out_boxes,
         "cls": out_cls,
         "mask": out_mask,

@@ -219,7 +219,12 @@ class Trainer:
 
     def loss_fn(self, params, batch_stats, batch):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
-        img = batch["img"].astype(dtype)
+        img = batch["img"]
+        if img.dtype == jnp.uint8:
+            # loader ships uint8 (4x less H2D); divide in f32 first so the
+            # result is bit-identical to the old host-side f32/255 batches
+            img = img.astype(jnp.float32) / 255.0
+        img = img.astype(dtype)
         out, updates = self.model.module.apply(
             {"params": params, "batch_stats": batch_stats},
             img,

@@ -51,6 +51,8 @@ class Validator:
 
         @jax.jit
         def infer(variables, img):
+            if img.dtype == jnp.uint8:  # loader ships uint8; normalize on device
+                img = img.astype(jnp.float32) / 255.0
             out = model.module.apply(variables, img, train=False)
             pred = model.decode(out)
             det, ok = non_max_suppression(
