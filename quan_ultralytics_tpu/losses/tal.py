@@ -11,8 +11,9 @@ Run this in fp32: the align metric takes overlaps**6.
 
 from __future__ import annotations
 
+import os
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,7 +108,6 @@ def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) ->
     return mask.at[bi, mi, idx].max(val)
 
 
-@partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta", "rotated"))
 def task_aligned_assigner(
     pd_scores: jnp.ndarray,   # [B, A, nc] sigmoid probabilities
     pd_bboxes: jnp.ndarray,   # [B, A, 4] xyxy or [B, A, 5] xywhr (pixels)
@@ -121,6 +121,42 @@ def task_aligned_assigner(
     beta: float = 6.0,
     eps: float = 1e-9,
     rotated: bool = False,
+    bf16_metric: Optional[bool] = None,
+) -> AssignResult:
+    """Wrapper resolving the metric dtype OUTSIDE the jit cache.
+
+    ``bf16_metric`` (default: $QUAN_ASSIGNER_BF16 == "1") runs the dense
+    [B, M, A] alignment-metric chain — class-score einsum, pairwise IoU,
+    metric power, top-k — in bf16: the assignment is a selection heuristic
+    (no gradients flow through it) and those tensors are the train step's
+    largest HBM intermediates (~132 MB each at b24/M=64/A=21504). Targets
+    and the final normalize stay f32. OFF by default: selection can differ
+    where competing metrics are within bf16 resolution, so the exact-parity
+    default is untouched."""
+    if bf16_metric is None:
+        bf16_metric = os.environ.get("QUAN_ASSIGNER_BF16") == "1"
+    return _assigner_jit(pd_scores, pd_bboxes, anc_points, gt_labels,
+                         gt_bboxes, mask_gt, num_classes=num_classes,
+                         topk=topk, alpha=alpha, beta=beta, eps=eps,
+                         rotated=rotated, bf16_metric=bool(bf16_metric))
+
+
+@partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta",
+                                   "rotated", "bf16_metric"))
+def _assigner_jit(
+    pd_scores: jnp.ndarray,
+    pd_bboxes: jnp.ndarray,
+    anc_points: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    num_classes: int,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+    rotated: bool = False,
+    bf16_metric: bool = False,
 ) -> AssignResult:
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
@@ -144,21 +180,30 @@ def task_aligned_assigner(
     # element is a single product) — the take_along_axis gather over the
     # class axis lowers to a kCustom gather over the dense [B, M, A] tensor,
     # while the [B, M, nc] x [B, A, nc] einsum rides the MXU.
-    lab_oh = jax.nn.one_hot(gt_lab, nc, dtype=jnp.float32)  # [B, M, nc]
-    scores_for_gt = jnp.einsum("bmn,ban->bma", lab_oh, pd_scores,
-                               precision=jax.lax.Precision.HIGHEST)  # [B, M, A]
-    bbox_scores = jnp.where(mask, scores_for_gt, 0.0)
-    overlaps = jnp.where(mask, overlaps_fn(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0.0)
+    mdt = jnp.bfloat16 if bf16_metric else jnp.float32
+    lab_oh = jax.nn.one_hot(gt_lab, nc, dtype=mdt)  # [B, M, nc]
+    scores_for_gt = jnp.einsum(
+        "bmn,ban->bma", lab_oh, pd_scores.astype(mdt),
+        precision=None if bf16_metric else jax.lax.Precision.HIGHEST)  # [B, M, A]
+    bbox_scores = jnp.where(mask, scores_for_gt, jnp.asarray(0.0, mdt))
+    # cast the broadcast INPUTS so the whole pairwise-IoU chain (its [B,M,A]
+    # intermediates included) runs in the metric dtype
+    overlaps = jnp.where(
+        mask,
+        overlaps_fn(gt_bboxes.astype(mdt)[:, :, None, :],
+                    pd_bboxes.astype(mdt)[:, None, :, :]).astype(mdt),
+        jnp.asarray(0.0, mdt))
     align_metric = bbox_scores**alpha * overlaps**beta
 
     mask_topk = _select_topk_mask(align_metric, topk, mask_gt)
-    mask_pos = mask_topk * mask_in_gts.astype(jnp.float32) * mask_gt[..., None].astype(jnp.float32)
+    mask_pos = mask_topk * mask_in_gts.astype(mdt) * mask_gt[..., None].astype(mdt)
 
     # Resolve anchors claimed by multiple gts by highest overlap (tal.py:277-296).
+    # (0/1 sums up to M=64 are exact in bf16, so fg_count/fg_mask are safe.)
     fg_count = mask_pos.sum(axis=-2)  # [B, A]
     mask_multi = (fg_count > 1)[:, None, :]  # [B, 1, A]
     max_overlap_gt = overlaps.argmax(axis=1)  # [B, A]
-    is_max = jax.nn.one_hot(max_overlap_gt, M, dtype=jnp.float32).transpose(0, 2, 1)  # [B, M, A]
+    is_max = jax.nn.one_hot(max_overlap_gt, M, dtype=mdt).transpose(0, 2, 1)  # [B, M, A]
     mask_pos = jnp.where(mask_multi, is_max, mask_pos)
     fg_mask_f = mask_pos.sum(axis=-2)
     target_gt_idx = mask_pos.argmax(axis=-2)  # [B, A]
@@ -181,6 +226,6 @@ def task_aligned_assigner(
     pos_align = align_metric.max(axis=-1, keepdims=True)   # [B, M, 1]
     pos_overlap = (overlaps * mask_pos).max(axis=-1, keepdims=True)
     norm = (align_metric * pos_overlap / (pos_align + eps)).max(axis=-2)[..., None]  # [B, A, 1]
-    target_scores = target_scores * norm
+    target_scores = target_scores * norm.astype(jnp.float32)
 
     return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)

@@ -177,7 +177,11 @@ def bbox_iou(box1: jnp.ndarray, box2: jnp.ndarray, xywh: bool = True, ciou: bool
     rho2 = ((b2[..., 0] + b2[..., 2] - b1[..., 0] - b1[..., 2]) ** 2
             + (b2[..., 1] + b2[..., 3] - b1[..., 1] - b1[..., 3]) ** 2) / 4
     v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
-    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    # v == 0 must give alpha == 0 even when the denominator underflows to 0
+    # (in bf16, 1 + 1e-7 rounds to 1, so iou == 1 makes this 0/0 -> NaN);
+    # bit-identical in f32, where the denominator is >= eps
+    alpha = jax.lax.stop_gradient(
+        jnp.where(v > 0, v / (v - iou + (1 + eps)), jnp.zeros_like(v)))
     return iou - (rho2 / c2 + v * alpha)
 
 

@@ -565,6 +565,27 @@ def s_l0fine():
             emit(section="l0fine", cfg=f"l0={name} b128", error=repr(e)[:200])
 
 
+@section("abf16")
+def s_abf16():
+    # bf16 assigner metric chain (QUAN_ASSIGNER_BF16=1): the dense [B,M,A]
+    # metric/IoU tensors are the train step's largest HBM intermediates
+    # (~132 MB each at b24); selection-only heuristic, no grads. A/B vs the
+    # exact f32 default at the best train config.
+    base = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+            "QUAN_FUSED_ATTN": "1"}
+    for name, env in (("bf16", {**base, "QUAN_ASSIGNER_BF16": "1"}),
+                      ("f32", base)):
+        for Bt in (24,):
+            try:
+                ips, ms, cs = _train_step_ms(Bt, False, env)
+                emit(section="abf16", cfg=f"assigner={name} b{Bt}",
+                     img_s=round(ips, 1), ms_step=round(ms, 1),
+                     compile_s=round(cs, 1))
+            except Exception as e:
+                emit(section="abf16", cfg=f"assigner={name} b{Bt}",
+                     error=repr(e)[:250])
+
+
 @section("u8in")
 def s_u8in():
     # uint8 device input + in-pipeline /255 (predictor semantics): the input
@@ -782,7 +803,7 @@ def main():
                                    s_fold, s_packedimpl, s_train, s_bench128,
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
-                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine,
+                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16,
                                    s_u8in, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()

@@ -196,3 +196,29 @@ def test_select_topk_mask_scatter_matches_onehot_oracle():
                     np.add.at(count[b, m], idx[b, m], 1)
             ref = np.where(count > 1, 0, count).astype(np.float32)
             np.testing.assert_array_equal(got, ref, err_msg=f"k={k} pattern={pattern}")
+
+
+def test_assigner_bf16_metric_matches_f32_selection():
+    """bf16_metric=True (QUAN_ASSIGNER_BF16): same selection and close
+    normalized scores on a well-separated case; outputs stay f32."""
+    pd_scores, pd_boxes, anc, labels, gt, mask, nc = _toy_assigner_inputs()
+    args = (jnp.asarray(pd_scores), jnp.asarray(pd_boxes), anc,
+            jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask))
+    r32 = task_aligned_assigner(*args, num_classes=nc, bf16_metric=False)
+    r16 = task_aligned_assigner(*args, num_classes=nc, bf16_metric=True)
+    assert r16.target_scores.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(r16.fg_mask), np.asarray(r32.fg_mask))
+    np.testing.assert_array_equal(np.asarray(r16.target_labels)[np.asarray(r32.fg_mask)],
+                                  np.asarray(r32.target_labels)[np.asarray(r32.fg_mask)])
+    np.testing.assert_allclose(np.asarray(r16.target_scores),
+                               np.asarray(r32.target_scores), rtol=0.05, atol=5e-3)
+
+    # rotated path too
+    pd_scores, pd_boxes, anc, labels, gt, mask, nc = _toy_assigner_inputs(rotated=True)
+    args = (jnp.asarray(pd_scores), jnp.asarray(pd_boxes), anc,
+            jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask))
+    r32 = task_aligned_assigner(*args, num_classes=nc, rotated=True, bf16_metric=False)
+    r16 = task_aligned_assigner(*args, num_classes=nc, rotated=True, bf16_metric=True)
+    np.testing.assert_array_equal(np.asarray(r16.fg_mask), np.asarray(r32.fg_mask))
+    np.testing.assert_allclose(np.asarray(r16.target_scores),
+                               np.asarray(r32.target_scores), rtol=0.05, atol=5e-3)
