@@ -13,6 +13,10 @@ to TPU serving; the TPU-native export surface is:
   * ``stablehlo``: human-readable StableHLO text of the same graph.
   * ``params``: pickled variables pytree + model yaml (reload with
     `YOLO(ckpt)`).
+  * ``tflite``: a .tflite flatbuffer (jax2tf -> TFLite converter with
+    SELECT_TF_OPS) runnable by the stock TFLite interpreter with no jax —
+    the one reference edge format that maps cleanly (exporter.py
+    export_tflite; reload with `TFLiteBackend`).
 
 All formats export the *fused* inference graph (IQBN folded — the fusion the
 reference left disabled, tasks.py:210-217, is free here since XLA fuses the
@@ -111,6 +115,72 @@ class ExportedBackend:
             pad = jnp.zeros((self.batch - b, *img.shape[1:]), img.dtype)
             img = jnp.concatenate([img, pad])
         return self._fn.call(img.astype(jnp.float32))[:b]
+
+
+def export_tflite(model: DetectionModel, variables, imgsz: int = 640,
+                  batch: int = 1, path: str = "model.tflite",
+                  names=None) -> str:
+    """Export forward+decode as a .tflite flatbuffer (reference
+    exporter.py export_tflite; format='tflite').
+
+    jax2tf graph serialization -> TFLite converter with SELECT_TF_OPS for
+    the ops TFLite builtins don't cover (conv groups, scatter, while). The
+    artifact runs under the stock TFLite interpreter with the flex
+    delegate — no jax, no model code (tests/test_export_roundtrip.py
+    asserts the interpreter matches the live model)."""
+    from jax.experimental import jax2tf
+    import tensorflow as tf
+
+    def forward(img):
+        out = model.module.apply(variables, img, train=False)
+        return model.decode(out)
+
+    tf_fn = tf.function(
+        jax2tf.convert(forward, native_serialization=False), autograph=False,
+        input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32)])
+    conv = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()], tf_fn)
+    conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
+                                      tf.lite.OpsSet.SELECT_TF_OPS]
+    Path(path).write_bytes(conv.convert())
+    meta = {"task": model.task, "nc": model.nc, "names": names,
+            "imgsz": imgsz, "batch": batch,
+            "strides": tuple(int(s) for s in model.strides)}
+    Path(str(path) + ".meta").write_bytes(pickle.dumps(meta))
+    return path
+
+
+class TFLiteBackend:
+    """Run an exported .tflite artifact through the TFLite interpreter
+    (reference nn/autobackend.py tflite branch)."""
+
+    def __init__(self, path: str):
+        import tensorflow as tf
+
+        self._interp = tf.lite.Interpreter(model_path=str(path))
+        self._interp.allocate_tensors()
+        self._in = self._interp.get_input_details()[0]
+        self._out = self._interp.get_output_details()[0]
+        meta_path = Path(str(path) + ".meta")
+        self.meta = pickle.loads(meta_path.read_bytes()) if meta_path.exists() else {}
+        self.task = self.meta.get("task", "detect")
+        self.nc = self.meta.get("nc")
+        self.names = self.meta.get("names")
+        self.imgsz = self.meta.get("imgsz")
+        self.batch = int(self._in["shape"][0])
+
+    def __call__(self, img):
+        import numpy as np
+
+        img = np.asarray(img, np.float32)
+        b = img.shape[0]
+        assert b <= self.batch, f"exported for batch {self.batch}, got {b}"
+        if b < self.batch:
+            img = np.concatenate(
+                [img, np.zeros((self.batch - b, *img.shape[1:]), np.float32)])
+        self._interp.set_tensor(self._in["index"], img)
+        self._interp.invoke()
+        return self._interp.get_tensor(self._out["index"])[:b]
 
 
 def export_params(model: DetectionModel, variables, model_yaml: str,

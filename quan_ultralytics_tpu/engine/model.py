@@ -178,7 +178,13 @@ class YOLO:
         if format == "params":
             return export_params(self.model, variables, self.model_yaml,
                                  names=self.names, path=path or "model.pkl")
-        raise ValueError(f"unknown export format {format!r} (exported|stablehlo|params)")
+        if format == "tflite":
+            from quan_ultralytics_tpu.engine.exporter import export_tflite
+
+            return export_tflite(self.model, variables, imgsz=imgsz, batch=batch,
+                                 names=self.names, path=path or "model.tflite")
+        raise ValueError(
+            f"unknown export format {format!r} (exported|stablehlo|params|tflite)")
 
     def tune(self, data: Union[str, Dict], iterations: int = 10, epochs: int = 5,
              imgsz: int = 640, batch: int = 16, save_dir: str = "runs/tune",

@@ -88,3 +88,24 @@ def test_yolo_predict_from_exported(exported_obb, tmp_path):
     r = res[0]
     assert r.task == "obb" and r.orig_shape == (48, 64)
     assert r.boxes.shape[1] == 7  # xywhr + conf + cls
+
+
+def test_tflite_export_matches_live(exported_obb, tmp_path):
+    """format=tflite: the flatbuffer runs under the stock TFLite interpreter
+    (no jax, no model code) and matches the live forward+decode."""
+    pytest.importorskip("tensorflow")
+    from quan_ultralytics_tpu.engine.exporter import TFLiteBackend
+
+    m, _ = exported_obb
+    path = m.export(format="tflite", imgsz=64, batch=2,
+                    path=str(tmp_path / "model.tflite"))
+    backend = TFLiteBackend(path)
+    assert backend.task == "obb" and backend.nc == 3 and backend.batch == 2
+    img = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    got = backend(img)
+    live = np.asarray(m.model.decode(
+        m.model.module.apply(m.variables, jnp.asarray(img), train=False)))
+    assert got.shape == live.shape
+    np.testing.assert_allclose(got, live, rtol=5e-3, atol=5e-3)
+    # smaller-batch calls pad internally
+    np.testing.assert_allclose(backend(img[:1]), live[:1], rtol=5e-3, atol=5e-3)
