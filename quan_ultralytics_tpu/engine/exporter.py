@@ -119,15 +119,20 @@ class ExportedBackend:
 
 def export_tflite(model: DetectionModel, variables, imgsz: int = 640,
                   batch: int = 1, path: str = "model.tflite",
-                  names=None) -> str:
+                  names=None, half: bool = False, int8: bool = False) -> str:
     """Export forward+decode as a .tflite flatbuffer (reference
-    exporter.py export_tflite; format='tflite').
+    exporter.py export_tflite; format='tflite', half/int8 args).
 
     jax2tf graph serialization -> TFLite converter with SELECT_TF_OPS for
     the ops TFLite builtins don't cover (conv groups, scatter, while). The
     artifact runs under the stock TFLite interpreter with the flex
     delegate — no jax, no model code (tests/test_export_roundtrip.py
-    asserts the interpreter matches the live model)."""
+    asserts the interpreter matches the live model).
+
+    half: fp16 weight quantization; int8: dynamic-range int8 weight
+    quantization (reference exporter.py:552-575 — its full-int8 calibration
+    path needs a representative dataset; dynamic-range is the dataless
+    analog and what its `int8 and not data` branch falls back to)."""
     from jax.experimental import jax2tf
     import tensorflow as tf
 
@@ -142,6 +147,10 @@ def export_tflite(model: DetectionModel, variables, imgsz: int = 640,
         [tf_fn.get_concrete_function()], tf_fn)
     conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
                                       tf.lite.OpsSet.SELECT_TF_OPS]
+    if half or int8:
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        if half:
+            conv.target_spec.supported_types = [tf.float16]
     Path(path).write_bytes(conv.convert())
     meta = {"task": model.task, "nc": model.nc, "names": names,
             "imgsz": imgsz, "batch": batch,

@@ -157,7 +157,8 @@ class YOLO:
         return out
 
     def export(self, format: str = "exported", imgsz: int = 640, batch: int = 1,
-               path: Optional[str] = None) -> str:
+               path: Optional[str] = None, half: bool = False,
+               int8: bool = False) -> str:
         """mode=export (reference Model.export :851 / engine/exporter.py):
         'exported' (RUNNABLE jax.export StableHLO bytecode, reload with
         YOLO("model.hlo") or raw jax — the analog of a runnable ONNX file),
@@ -182,7 +183,8 @@ class YOLO:
             from quan_ultralytics_tpu.engine.exporter import export_tflite
 
             return export_tflite(self.model, variables, imgsz=imgsz, batch=batch,
-                                 names=self.names, path=path or "model.tflite")
+                                 names=self.names, path=path or "model.tflite",
+                                 half=half, int8=int8)
         raise ValueError(
             f"unknown export format {format!r} (exported|stablehlo|params|tflite)")
 

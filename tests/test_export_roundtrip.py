@@ -109,3 +109,22 @@ def test_tflite_export_matches_live(exported_obb, tmp_path):
     np.testing.assert_allclose(got, live, rtol=5e-3, atol=5e-3)
     # smaller-batch calls pad internally
     np.testing.assert_allclose(backend(img[:1]), live[:1], rtol=5e-3, atol=5e-3)
+
+
+def test_tflite_half_and_int8_variants(exported_obb, tmp_path):
+    """half / int8 weight-quantized tflite artifacts run and stay close to
+    the live model (reference exporter.py half/int8 export args)."""
+    pytest.importorskip("tensorflow")
+    from quan_ultralytics_tpu.engine.exporter import TFLiteBackend
+
+    m, _ = exported_obb
+    img = np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    live = np.asarray(m.model.decode(
+        m.model.module.apply(m.variables, jnp.asarray(img), train=False)))
+    for kw, tol in (({"half": True}, 2e-2), ({"int8": True}, 2e-1)):
+        path = m.export(format="tflite", imgsz=64, batch=1,
+                        path=str(tmp_path / f"m_{list(kw)[0]}.tflite"), **kw)
+        got = TFLiteBackend(path)(img)
+        assert got.shape == live.shape
+        # quantized weights: coarse agreement on the decoded boxes/logits
+        assert np.abs(got - live).max() / (np.abs(live).max() + 1e-6) < tol
