@@ -13,7 +13,7 @@ import ast
 import sys
 from typing import Any, Dict
 
-MODES = ("train", "val", "predict", "export", "track", "tune")
+MODES = ("train", "val", "predict", "export", "track", "tune", "benchmark")
 TASKS = ("detect", "obb", "classify", "segment", "pose")
 DEFAULT_MODELS = {
     "obb": "yolo11n-obb-quan.yaml",
@@ -45,6 +45,26 @@ def main(argv=None):
         raise SystemExit(f"usage: yolo [task] MODE k=v...  (modes: {MODES})")
     mode = argv.pop(0)
     kv = parse_kv(argv)
+    if mode == "benchmark":
+        # reference MODES 'benchmark' (utils/benchmarks.py benchmark :51):
+        # speed table across (model, imgsz, dtype) on the XLA runtime
+        from quan_ultralytics_tpu.utils.benchmarks import benchmark, print_table
+
+        def _seq(v, cast):
+            return tuple(cast(s) for s in str(v).split(","))
+
+        kw = {}
+        if "model" in kv:
+            kw["models"] = _seq(kv["model"], str)
+        if "imgsz" in kv:
+            kw["imgsz"] = _seq(kv["imgsz"], int)
+        for k, cast in (("batch", int), ("iters", int), ("nc", int)):
+            if k in kv:
+                kw[k] = cast(kv[k])
+        if "dtype" in kv:
+            kw["dtypes"] = _seq(kv["dtype"], str)
+        print_table(benchmark(**kw))
+        return 0
     if task != "classify":
         # classify routes through its reference-compatible argparse CLI with
         # its own flag vocabulary (exp_dir, batch_size, ...)
