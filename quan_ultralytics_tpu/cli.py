@@ -10,10 +10,12 @@ Task may be omitted (inferred from the model head).
 from __future__ import annotations
 
 import ast
+import json
 import sys
 from typing import Any, Dict
 
-MODES = ("train", "val", "predict", "export", "track", "tune", "benchmark")
+MODES = ("train", "val", "predict", "export", "track", "tune", "benchmark",
+         "settings")
 TASKS = ("detect", "obb", "classify", "segment", "pose")
 DEFAULT_MODELS = {
     "obb": "yolo11n-obb-quan.yaml",
@@ -44,6 +46,23 @@ def main(argv=None):
         print(__doc__)
         raise SystemExit(f"usage: yolo [task] MODE k=v...  (modes: {MODES})")
     mode = argv.pop(0)
+    if mode == "settings":
+        # reference special mode 'settings' (cfg/__init__.py handle_yolo_settings
+        # :583): no args prints, k=v updates, 'reset' restores defaults
+        from quan_ultralytics_tpu.utils.settings import SETTINGS
+
+        if argv and argv[0] == "reset":
+            SETTINGS.reset()
+            print(f"settings reset to defaults ({SETTINGS.file})")
+            return 0
+        updates = parse_kv(argv)
+        if updates:
+            try:
+                SETTINGS.update(updates)
+            except (KeyError, TypeError) as e:
+                raise SystemExit(f"settings error: {e.args[0]}")
+        print(json.dumps(dict(SETTINGS), indent=2))
+        return 0
     kv = parse_kv(argv)
     if mode == "benchmark":
         # reference MODES 'benchmark' (utils/benchmarks.py benchmark :51):

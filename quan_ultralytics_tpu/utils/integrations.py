@@ -244,8 +244,10 @@ def _try_raytune(args: Dict[str, Any]):
     return RayTune()
 
 
-_FACTORIES = (_try_wandb, _try_mlflow, _try_comet, _try_clearml,
-              _try_dvclive, _try_neptune, _try_raytune)
+_FACTORIES = (("wandb", _try_wandb), ("mlflow", _try_mlflow),
+              ("comet", _try_comet), ("clearml", _try_clearml),
+              ("dvc", _try_dvclive), ("neptune", _try_neptune),
+              ("raytune", _try_raytune))
 
 
 def build_callbacks(save_dir: str, args: Optional[Dict[str, Any]] = None,
@@ -256,15 +258,22 @@ def build_callbacks(save_dir: str, args: Optional[Dict[str, Any]] = None,
     integrations attach only when their libraries import (reference
     callbacks/base.py add_integration_callbacks :186-217).
     """
+    from quan_ultralytics_tpu.utils.settings import SETTINGS
+
     cb = Callbacks()
     CSVLogger(save_dir).attach(cb)
-    tb = try_tensorboard(save_dir)
-    if tb is not None:
-        tb.attach(cb)
+    if SETTINGS.get("tensorboard", True):
+        tb = try_tensorboard(save_dir)
+        if tb is not None:
+            tb.attach(cb)
     if enable_integrations:
         a = dict(args or {})
         a.setdefault("save_dir", save_dir)
-        for factory in _FACTORIES:
+        for name, factory in _FACTORIES:
+            # per-integration enable gate (reference mlflow.py:30
+            # `assert SETTINGS["mlflow"] is True`, etc.)
+            if SETTINGS.get(name, True) is not True:
+                continue
             try:
                 integ = factory(a)
             except Exception:

@@ -106,3 +106,40 @@ def test_classify_train_synthetic_e2e(tmp_path, monkeypatch):
     assert rc == 0
     runs = list(Path("runs_cls").glob("**/metrics.csv")) + list(Path("runs_cls").glob("**/*.json"))
     assert runs, "classification run left no artifacts"
+
+
+def test_settings_mode(tmp_path, monkeypatch, capsys):
+    """yolo settings: print / update / reject unknown / reset (reference
+    cfg/__init__.py handle_yolo_settings + SettingsManager)."""
+    import importlib
+    import json as _json
+
+    monkeypatch.setenv("QUAN_TPU_SETTINGS", str(tmp_path / "settings.json"))
+    import quan_ultralytics_tpu.utils.settings as settings_mod
+    importlib.reload(settings_mod)  # re-bind SETTINGS to the temp path
+    from quan_ultralytics_tpu.cli import main
+
+    assert main(["settings"]) == 0
+    shown = _json.loads(capsys.readouterr().out)
+    assert shown["mlflow"] is True
+
+    assert main(["settings", "mlflow=False"]) == 0
+    on_disk = _json.loads((tmp_path / "settings.json").read_text())
+    assert on_disk["mlflow"] is False
+
+    # disabled integration must be skipped even when importable
+    from quan_ultralytics_tpu.utils.integrations import build_callbacks
+    import sys as _sys
+    import types as _types
+    fake = _types.ModuleType("mlflow")
+    fake.__version__ = "0.0"
+    fake.set_tracking_uri = lambda *a, **k: (_ for _ in ()).throw(AssertionError("gated"))
+    monkeypatch.setitem(_sys.modules, "mlflow", fake)
+    monkeypatch.setattr("quan_ultralytics_tpu.utils.integrations.SETTINGS",
+                        settings_mod.SETTINGS, raising=False)
+    build_callbacks(str(tmp_path), args={})  # must not touch fake mlflow
+
+    with pytest.raises(SystemExit):
+        main(["settings", "nonsense=1"])
+    assert main(["settings", "reset"]) == 0
+    assert _json.loads((tmp_path / "settings.json").read_text())["mlflow"] is True
