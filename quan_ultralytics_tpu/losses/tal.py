@@ -203,7 +203,10 @@ def _assigner_jit(
     fg_count = mask_pos.sum(axis=-2)  # [B, A]
     mask_multi = (fg_count > 1)[:, None, :]  # [B, 1, A]
     max_overlap_gt = overlaps.argmax(axis=1)  # [B, A]
-    is_max = jax.nn.one_hot(max_overlap_gt, M, dtype=mdt).transpose(0, 2, 1)  # [B, M, A]
+    # build the [B, M, A] one-hot directly (a fused compare): one_hot
+    # produces [B, A, M] and the transpose materializes a full dense copy
+    is_max = (jnp.arange(M, dtype=jnp.int32)[None, :, None]
+              == max_overlap_gt[:, None, :]).astype(mdt)  # [B, M, A]
     mask_pos = jnp.where(mask_multi, is_max, mask_pos)
     fg_mask_f = mask_pos.sum(axis=-2)
     target_gt_idx = mask_pos.argmax(axis=-2)  # [B, A]
