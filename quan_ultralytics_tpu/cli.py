@@ -70,7 +70,13 @@ def main(argv=None):
         from quan_ultralytics_tpu.utils.benchmarks import benchmark, print_table
 
         def _seq(v, cast):
-            return tuple(cast(s) for s in str(v).split(","))
+            # parse_kv literal_evals "640,1024" into a tuple already; also
+            # accept a bare scalar or a comma string ("a.yaml,b.yaml")
+            if isinstance(v, (tuple, list)):
+                return tuple(cast(s) for s in v)
+            if isinstance(v, (int, float)):
+                return (cast(v),)
+            return tuple(cast(s.strip()) for s in str(v).split(","))
 
         kw = {}
         if "model" in kv:

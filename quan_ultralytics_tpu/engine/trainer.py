@@ -187,7 +187,8 @@ class Trainer:
     """Minimal faithful trainer for detect/obb tasks.
 
     Data comes from any iterable yielding dicts with:
-      'img'    [B, H, W, 3] float32 in [0, 1]
+      'img'    [B, H, W, 3] uint8 0..255 (normalized on device) or
+               float32 in [0, 1]
       'cls'    [B, M] int32, 'bboxes' [B, M, 4|5] normalized, 'mask' [B, M]
     """
 

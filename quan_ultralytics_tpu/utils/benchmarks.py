@@ -45,17 +45,25 @@ def benchmark(
                         return det
                     return pred
 
-                f = jax.jit(fwd)
-                x = jnp.asarray(np.random.rand(batch, size, size, 3).astype(np.float32))
-                out = f(variables, x)
-                float(np.asarray(out).sum())  # compile + real-exec sync
-                ts = []
-                for _ in range(iters):
-                    t0 = time.perf_counter()
-                    out = f(variables, x)
-                    float(np.asarray(out[0, 0]).sum())
-                    ts.append(time.perf_counter() - t0)
-                t = float(np.median(ts))
+                # CLAUDE.md remote-bench methodology: generate the input ON
+                # DEVICE (a host transfer rides the TCP relay) and time all
+                # iters inside ONE jitted fori_loop with a carry-dependent
+                # input (per-dispatch timing is relay-latency-dominated)
+                @jax.jit
+                def run(v, key):
+                    x = jax.random.uniform(key, (batch, size, size, 3),
+                                           jnp.float32)
+
+                    def body(i, acc):
+                        return fwd(v, x + acc * 1e-12).sum().astype(jnp.float32)
+
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+                key = jax.random.PRNGKey(0)
+                float(run(variables, key))  # compile + warmup (real execution)
+                t0 = time.perf_counter()
+                float(run(variables, key))  # host-synced by the scalar fetch
+                t = (time.perf_counter() - t0) / iters
                 rows.append({
                     "model": name, "imgsz": size, "dtype": dt, "batch": batch,
                     "ms_per_batch": round(t * 1e3, 2),

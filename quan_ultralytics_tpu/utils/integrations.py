@@ -33,12 +33,29 @@ def _sanitize(metrics: Dict[str, Any]) -> Dict[str, float]:
 
 
 class _Integration:
-    """Shared shape: subscribe to the reference's event vocabulary."""
+    """Shared shape: subscribe to the reference's event vocabulary.
+
+    Every handler is wrapped so a misconfigured or flaky logger client
+    (not logged in, unreachable tracking server, transient network error)
+    warns and is dropped instead of killing a multi-hour training run —
+    the same contract as the reference's try/except-per-callback bodies."""
 
     def attach(self, callbacks: Callbacks) -> None:
-        callbacks.add("on_pretrain_routine_end", self.on_pretrain_routine_end)
-        callbacks.add("on_fit_epoch_end", self.on_fit_epoch_end)
-        callbacks.add("on_train_end", self.on_train_end)
+        for event, fn in (("on_pretrain_routine_end", self.on_pretrain_routine_end),
+                          ("on_fit_epoch_end", self.on_fit_epoch_end),
+                          ("on_train_end", self.on_train_end)):
+            callbacks.add(event, self._guard(event, fn))
+
+    def _guard(self, event: str, fn):
+        def run(*a, **kw):
+            try:
+                fn(*a, **kw)
+            except Exception as e:  # noqa: BLE001 — logger failure is non-fatal
+                import warnings
+
+                warnings.warn(f"{type(self).__name__}.{event} failed "
+                              f"({e!r}); integration logging skipped")
+        return run
 
     def on_pretrain_routine_end(self, args: Dict[str, Any]) -> None:  # pragma: no cover
         pass

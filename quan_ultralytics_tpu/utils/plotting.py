@@ -86,7 +86,9 @@ def plot_images(batch, path: str = "train_batch.jpg", max_ims: int = 16, names=N
     canvas = np.full((rows * s, cols * s, 3), 255, np.uint8)
     for i, im in enumerate(imgs):
         r, c = divmod(i, cols)
-        tile = (im * 255).astype(np.uint8)
+        im = np.asarray(im)
+        # loader batches are uint8 0..255; float inputs are [0, 1]
+        tile = im.copy() if im.dtype == np.uint8 else (im * 255).astype(np.uint8)
         ann = Annotator(tile, names)
         mask = batch["mask"][i]
         for b, k in zip(batch["bboxes"][i][mask], batch["cls"][i][mask]):

@@ -49,21 +49,26 @@ class SettingsManager(dict):
     def __init__(self):
         super().__init__(_DEFAULTS)
         self.file = _path()
+        # READ-ONLY load: never write at import time — a mere import must
+        # not touch (or, worse, be able to corrupt) the user's config, and
+        # settings.json only changes on an explicit update()/reset().
         try:
             loaded = json.loads(self.file.read_text())
             if (set(loaded) == set(_DEFAULTS)
                     and loaded.get("settings_version") == _VERSION):
-                self.update(loaded)
-            else:  # stale schema -> reset (reference :1010-1023)
-                self.save()
-        except FileNotFoundError:
-            pass  # defaults; persist lazily on first update()/save()
+                dict.update(self, loaded)
+            # stale schema / unknown keys: keep in-memory defaults
+            # (reference correct_keys reset :1010-1023, deferred to the
+            # next explicit save)
         except Exception:
-            self.save()
+            pass
 
     def save(self) -> None:
         self.file.parent.mkdir(parents=True, exist_ok=True)
-        self.file.write_text(json.dumps(dict(self), indent=2))
+        # atomic replace: a concurrent reader never sees a half-written file
+        tmp = self.file.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(dict(self), indent=2))
+        os.replace(tmp, self.file)
 
     def update(self, *args, **kwargs) -> None:  # type: ignore[override]
         new = dict(*args, **kwargs)
