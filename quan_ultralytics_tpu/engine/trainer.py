@@ -250,6 +250,13 @@ class Trainer:
         return total, (aux, updates["batch_stats"])
 
     def make_train_step(self):
+        import os
+
+        if os.environ.get("QUAN_QCONV_IMPL") == "int8":
+            # the PTQ path round()s activations/weights — zero gradient;
+            # int8 is a serving-only impl (ops/qconv.py qconv2d_int8)
+            raise RuntimeError("QUAN_QCONV_IMPL=int8 is inference-only; "
+                               "unset it for training")
         tx = self.tx
 
         guard_nan = self.cfg.guard_nan

@@ -220,6 +220,16 @@ class QConv2D(nn.Module):
             # 128-lane MXU occupancy; threshold tunable for on-chip sweeps
             fold_max = int(os.environ.get("QUAN_QCONV_FOLD_MAX", "32"))
             impl = "folded" if (cout < fold_max and self.g == 1) else "grouped"
+        if impl == "int8" and self.g == 1:
+            # opt-in PTQ serving path (see ops/qconv.py qconv2d_int8):
+            # quantize the mixing-folded dense kernel per out channel,
+            # activations dynamically per tensor — s8 MXU is 2x bf16 peak
+            from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
+            from quan_ultralytics_tpu.ops.qconv import fold_dense_kernel, qconv2d_int8
+
+            dk = fold_dense_kernel(w, jnp.asarray(MIX_MATRIX))
+            return qconv2d_int8(x.astype(dtype), dk, b, stride=self.s,
+                                padding=pad, dilation=self.d)
         if impl == "folded" and self.g == 1:
             from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
             from quan_ultralytics_tpu.ops.qconv import fold_dense_kernel, qconv2d_folded

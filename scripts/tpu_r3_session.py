@@ -586,6 +586,22 @@ def s_abf16():
                      error=repr(e)[:250])
 
 
+@section("i8")
+def s_i8():
+    # opt-in int8 PTQ conv path (ops/qconv.py qconv2d_int8): s8 MXU peak is
+    # 2x bf16 on v5e and the conv bucket is ~41 ms of 140 at b128. A/B at
+    # the headline config; serving-only (accuracy unvalidated in this env).
+    base = {"QUAN_STEM_DEEP": "1", "QUAN_FUSED_ATTN": "1"}
+    for name, env in (("int8", {**base, "QUAN_QCONV_IMPL": "int8"}),
+                      ("auto", {**base, "QUAN_QCONV_IMPL": "auto"})):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(128, env=env)
+            emit(section="i8", cfg=f"impl={name} b128", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="i8", cfg=f"impl={name} b128", error=repr(e)[:200])
+
+
 @section("u8in")
 def s_u8in():
     # uint8 device input + in-pipeline /255 (predictor semantics): the input
@@ -803,7 +819,7 @@ def main():
                                    s_fold, s_packedimpl, s_train, s_bench128,
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
-                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16,
+                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8,
                                    s_u8in, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()

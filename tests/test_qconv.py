@@ -199,3 +199,40 @@ class TestMappings:
         for m in ["poincare", "hamilton", "luminance", "mean_brightness", "raw_normalized"]:
             q = rgb_to_quaternion(jnp.asarray(x), m)
             assert q.shape == (2, 4, 4, 4, 1)
+
+
+def test_qconv2d_int8_close_to_f32():
+    """Opt-in PTQ conv (per-channel weights, per-tensor dynamic activations):
+    within ~2% relative error of the f32 folded conv on random data."""
+    import jax
+    from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
+    from quan_ultralytics_tpu.ops.qconv import (fold_dense_kernel, qconv2d_folded,
+                                                qconv2d_int8)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 3, 3, 8, 12)).astype(np.float32) * 0.1)
+    dk = fold_dense_kernel(w, jnp.asarray(MIX_MATRIX))
+    ref = np.asarray(qconv2d_folded(x, dk, stride=1, padding=1))
+    got = np.asarray(qconv2d_int8(x, dk, stride=1, padding=1))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.02, f"int8 rel err {rel}"
+
+
+def test_model_forward_int8_impl(monkeypatch):
+    """Full-graph eval under QUAN_QCONV_IMPL=int8 runs and correlates with
+    the f32 graph (PTQ error compounds; exactness is not the contract)."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jnp.asarray(np.random.default_rng(7).random((1, 64, 64, 3), np.float32))
+    ref = np.asarray(m.decode(m.module.apply(v, x, train=False)))
+    monkeypatch.setenv("QUAN_QCONV_IMPL", "int8")
+    got = np.asarray(m.decode(m.module.apply(v, x, train=False)))
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    # decoded box coords (first 5 columns) track the f32 graph
+    c = np.corrcoef(got[..., :5].ravel(), ref[..., :5].ravel())[0, 1]
+    assert c > 0.99, f"int8 graph decorrelated: r={c}"
