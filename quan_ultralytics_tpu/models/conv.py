@@ -197,10 +197,15 @@ class QConv2D(nn.Module):
                 # the input packing: 16 = r=4 pre-pack (s2d4_rgb_mapped),
                 # 1 = unpacked fine grid (QUAN_STEM_L0=fine)
                 ri = {16: 4, 1: 1}[x.shape[-1]]
+            # QUAN_QCONV_IMPL=int8 extends to the packed stem unless
+            # QUAN_PACKED_IMPL explicitly overrides
+            packed_impl = os.environ.get(
+                "QUAN_PACKED_IMPL",
+                "int8" if os.environ.get("QUAN_QCONV_IMPL") == "int8" else "folded")
             return qconv2d_packed(
                 x.astype(dtype), w, b,
                 stride=self.s, padding=pad, ri=ri, ro=ro,
-                impl=os.environ.get("QUAN_PACKED_IMPL", "folded"),
+                impl=packed_impl,
             )
         if self.stem_mode == "phase_out":
             assert (kh, kw) == (3, 3) and self.s in (2, (2, 2))

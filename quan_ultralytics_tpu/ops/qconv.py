@@ -269,7 +269,7 @@ def qconv2d_packed(
     pr_w = S * (Jout_w - 1) + KW - 1 - pl - (Wc - 1)
 
     x_flat = x.reshape(B, Hc, Wc, 4 * cin_p)
-    if impl == "folded":
+    if impl in ("folded", "int8"):
         mix = jnp.asarray(MIX_MATRIX).astype(wk.dtype)
         # K[(d, ci_p) -> (q, co_p)] = M[q, d] * wk[d, ..., ci_p, co_p]
         kernel = jnp.einsum("qd,dhwio->hwdiqo", mix, wk,
@@ -279,17 +279,37 @@ def qconv2d_packed(
     else:
         kernel = jnp.transpose(wk, (1, 2, 3, 0, 4)).reshape(KH, KW, cin_p, 4 * cout * ro * ro)
         fgc = 4
-    s = lax.conv_general_dilated(
-        x_flat,
-        kernel.astype(x_flat.dtype),
-        window_strides=(S, S),
-        padding=((pl, pr_h), (pl, pr_w)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=fgc,
-        precision=lax.Precision.HIGHEST,
-    )
+    if impl == "int8":
+        # PTQ variant of the folded packed conv (see qconv2d_int8): the
+        # expanded kernel is mostly structural zeros, which symmetric
+        # per-out-channel absmax quantization represents exactly
+        eps = 1e-8
+        sx = (jnp.max(jnp.abs(x_flat.astype(jnp.float32))) / 127.0) + eps
+        xq = jnp.clip(jnp.round(x_flat.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        kf = kernel.astype(jnp.float32)
+        swt = (jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0) + eps
+        wq = jnp.clip(jnp.round(kf / swt), -127, 127).astype(jnp.int8)
+        acc = lax.conv_general_dilated(
+            xq, wq,
+            window_strides=(S, S),
+            padding=((pl, pr_h), (pl, pr_w)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        s = acc.astype(jnp.float32) * (sx * swt)
+    else:
+        s = lax.conv_general_dilated(
+            x_flat,
+            kernel.astype(x_flat.dtype),
+            window_strides=(S, S),
+            padding=((pl, pr_h), (pl, pr_w)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=fgc,
+            precision=lax.Precision.HIGHEST,
+        )
     y = s.reshape(B, s.shape[1], s.shape[2], 4, cout * ro * ro)
-    if impl != "folded":
+    if impl not in ("folded", "int8"):  # mixing already folded into the kernel
         y = mix_components(y, axis=-2)
     if bias is not None:
         y = y + jnp.repeat(bias, ro * ro).astype(y.dtype)

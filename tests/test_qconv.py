@@ -236,3 +236,37 @@ def test_model_forward_int8_impl(monkeypatch):
     # decoded box coords (first 5 columns) track the f32 graph
     c = np.corrcoef(got[..., :5].ravel(), ref[..., :5].ravel())[0, 1]
     assert c > 0.99, f"int8 graph decorrelated: r={c}"
+
+
+def test_packed_conv_int8_close_to_folded():
+    """int8 impl of the packed conv stays within PTQ tolerance of folded."""
+    import jax
+    from quan_ultralytics_tpu.ops.qconv import qconv2d_packed
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4, 8 * 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 3, 3, 8, 12)).astype(np.float32) * 0.1)
+    ref = np.asarray(qconv2d_packed(x, w, stride=2, padding=1, ri=2, ro=2,
+                                    impl="folded"))
+    got = np.asarray(qconv2d_packed(x, w, stride=2, padding=1, ri=2, ro=2,
+                                    impl="int8"))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.02, f"packed int8 rel err {rel}"
+
+
+def test_model_forward_int8_with_deep_stem(monkeypatch):
+    """int8 + deep packed stem: the full graph runs and tracks f32."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+    monkeypatch.setenv("QUAN_STEM_DEEP", "1")
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jnp.asarray(np.random.default_rng(8).random((1, 64, 64, 3), np.float32))
+    ref = np.asarray(m.decode(m.module.apply(v, x, train=False)))
+    monkeypatch.setenv("QUAN_QCONV_IMPL", "int8")
+    got = np.asarray(m.decode(m.module.apply(v, x, train=False)))
+    assert np.isfinite(got).all()
+    c = np.corrcoef(got[..., :5].ravel(), ref[..., :5].ravel())[0, 1]
+    assert c > 0.99, f"int8+deep-stem graph decorrelated: r={c}"
