@@ -602,6 +602,24 @@ def s_i8():
             emit(section="i8", cfg=f"impl={name} b128", error=repr(e)[:200])
 
 
+@section("l0train")
+def s_l0train():
+    # train-side A/B of QUAN_STEM_L0=fine: the input pack chain appears in
+    # the b24 train profile as maximum_bitcast_fusion+copy (~5.3 ms/step).
+    base = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+            "QUAN_FUSED_ATTN": "1"}
+    for name, env in (("fine", {**base, "QUAN_STEM_L0": "fine"}),
+                      ("prepack", base)):
+        try:
+            ips, ms, cs = _train_step_ms(24, False, env)
+            emit(section="l0train", cfg=f"l0={name} b24 train",
+                 img_s=round(ips, 1), ms_step=round(ms, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="l0train", cfg=f"l0={name} b24 train",
+                 error=repr(e)[:250])
+
+
 @section("u8in")
 def s_u8in():
     # uint8 device input + in-pipeline /255 (predictor semantics): the input
@@ -819,7 +837,7 @@ def main():
                                    s_fold, s_packedimpl, s_train, s_bench128,
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
-                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8,
+                                   s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8, s_l0train,
                                    s_u8in, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()

@@ -2,7 +2,7 @@
 # Retry the TPU tunnel until healthy, then run the staged round-3 sections.
 # One probe per ~20 min (short-lived TPU clients wedge the tunnel; keep churn low).
 # Log: /tmp/tpu_watchdog.log  Sections: $@ (default: the staged unmeasured set).
-SECTIONS="${@:-health opt5 l0fine i8 u8in trainopt abf16 trainprof24 segpose cls}"
+SECTIONS="${@:-health opt5 l0fine i8 u8in trainopt abf16 l0train trainprof24 segpose cls}"
 LOG=/tmp/tpu_watchdog.log
 cd /root/repo
 for attempt in $(seq 1 30); do
