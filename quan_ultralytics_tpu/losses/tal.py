@@ -186,12 +186,14 @@ def _assigner_jit(
         "bmn,ban->bma", lab_oh, pd_scores.astype(mdt),
         precision=None if bf16_metric else jax.lax.Precision.HIGHEST)  # [B, M, A]
     bbox_scores = jnp.where(mask, scores_for_gt, jnp.asarray(0.0, mdt))
-    # cast the broadcast INPUTS so the whole pairwise-IoU chain (its [B,M,A]
-    # intermediates included) runs in the metric dtype
+    # IoU math stays f32 (inputs are small per-box tensors and the fused
+    # chain's intermediates never hit HBM — bf16 inputs were measurably
+    # inaccurate for thin rotated boxes); only the materialized [B, M, A]
+    # output drops to the metric dtype, which is where the bandwidth is
     overlaps = jnp.where(
         mask,
-        overlaps_fn(gt_bboxes.astype(mdt)[:, :, None, :],
-                    pd_bboxes.astype(mdt)[:, None, :, :]).astype(mdt),
+        overlaps_fn(gt_bboxes[:, :, None, :],
+                    pd_bboxes[:, None, :, :]).astype(mdt),
         jnp.asarray(0.0, mdt))
     align_metric = bbox_scores**alpha * overlaps**beta
 

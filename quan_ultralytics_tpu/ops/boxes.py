@@ -202,13 +202,32 @@ def probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndar
     x2, y2 = obb2[..., 0], obb2[..., 1]
     a1, b1, c1 = _covariance(obb1)
     a2, b2, c2 = _covariance(obb2)
-    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    if obb1.dtype == jnp.bfloat16 or obb2.dtype == jnp.bfloat16:
+        # bf16 metric path (QUAN_ASSIGNER_BF16): the textbook den and det
+        # expressions cancel catastrophically at bf16 precision for thin
+        # rotated boxes (den went NEGATIVE -> log NaN for ~6% of random
+        # thin-box pairs; e.g. parallel vehicle rows in DOTA). Rewrite with
+        # no cancellation, identical in exact arithmetic:
+        #   det_i = (w_i*h_i/12)^2           (rotation-invariant, per box)
+        #   den   = det1 + det2 + cross,  cross = a1*b2 + a2*b1 - 2*c1*c2
+        # where every term is >= 0 (Cauchy-Schwarz on the PSD covariances),
+        # and sqrt(det1*det2) factors per box.
+        f32 = jnp.float32
+        det1 = (obb1[..., 2].astype(f32) * obb1[..., 3].astype(f32) / 12.0) ** 2
+        det2 = (obb2[..., 2].astype(f32) * obb2[..., 3].astype(f32) / 12.0) ** 2
+        cross = a1 * b2 + a2 * b1 - 2.0 * c1 * c2
+        den = jnp.maximum(det1.astype(cross.dtype) + det2.astype(cross.dtype)
+                          + cross, 0) + eps
+        sd = jnp.sqrt(det1).astype(cross.dtype) * jnp.sqrt(det2).astype(cross.dtype)
+        t3 = jnp.log(den / (4.0 * sd + eps) + eps) * 0.5
+    else:
+        den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+        det1 = jnp.clip(a1 * b1 - c1**2, 0)
+        det2 = jnp.clip(a2 * b2 - c2**2, 0)
+        t3 = jnp.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+                     / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
     t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / den * 0.25
     t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / den * 0.5
-    det1 = jnp.clip(a1 * b1 - c1**2, 0)
-    det2 = jnp.clip(a2 * b2 - c2**2, 0)
-    t3 = jnp.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
-                 / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
     bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
     hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
     return 1.0 - hd

@@ -125,8 +125,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     rse = jnp.sum(dp * e, axis=-1, keepdims=True)       # rowsum(dP o E)
     u = (e * (dp - r * rse)).astype(q2.dtype)           # [N, N]
     dq = jnp.dot(u, ks, preferred_element_type=jnp.float32) * r
+    # keep both dK operands in the activation dtype: r is f32, so the
+    # unparenthesized fold promoted the [N, dk] operand to f32 and made a
+    # mixed bf16 x f32 contraction (unverified on the Mosaic backend, and
+    # it defeats u's explicit bf16 MXU cast)
     dk = jax.lax.dot_general(
-        u, q2 * (r * _LN2), (((0,), (0,)), ((), ())),
+        u, (q2 * (r * _LN2)).astype(q2.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dq_ref[0] = dq.astype(dq_ref.dtype)

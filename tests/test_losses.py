@@ -222,3 +222,45 @@ def test_assigner_bf16_metric_matches_f32_selection():
     np.testing.assert_array_equal(np.asarray(r16.fg_mask), np.asarray(r32.fg_mask))
     np.testing.assert_allclose(np.asarray(r16.target_scores),
                                np.asarray(r32.target_scores), rtol=0.05, atol=5e-3)
+
+
+def test_assigner_bf16_rotated_thin_boxes_no_nan():
+    """Regression: thin near-parallel rotated boxes made the textbook
+    probiou den go negative in bf16 (log -> NaN through the whole
+    assignment); the bf16 path now uses the cancellation-free den."""
+    from quan_ultralytics_tpu.ops.boxes import probiou
+
+    g = jnp.asarray([[361.3, 459.8, 117.9, 4.54, 0.77]], jnp.float32)
+    p = jnp.asarray([[354.5, 461.9, 120.2, 4.76, 0.77]], jnp.float32)
+    ref = float(probiou(g, p)[0])
+    got = float(probiou(g.astype(jnp.bfloat16), p.astype(jnp.bfloat16))[0])
+    assert np.isfinite(got), "bf16 probiou NaN on thin rotated boxes"
+    assert abs(got - ref) < 0.15, f"bf16 probiou far off: {got} vs {ref}"
+
+    # bulk: random thin boxes must produce zero NaNs and stay correlated
+    rng = np.random.default_rng(3)
+    n = 2000
+    w = rng.uniform(50, 150, n).astype(np.float32)
+    h = rng.uniform(2, 6, n).astype(np.float32)
+    ang = rng.uniform(-1.5, 1.5, n).astype(np.float32)
+    b1 = np.stack([rng.uniform(100, 900, n), rng.uniform(100, 900, n), w, h, ang], 1)
+    b2 = b1 + rng.normal(0, 3, b1.shape).astype(np.float32) * [1, 1, 1, 0.1, 0.01]
+    r32 = np.asarray(probiou(jnp.asarray(b1), jnp.asarray(b2)))
+    r16 = np.asarray(probiou(jnp.asarray(b1, jnp.bfloat16),
+                             jnp.asarray(b2, jnp.bfloat16))).astype(np.float32)
+    assert np.isfinite(r16).all(), f"{(~np.isfinite(r16)).sum()} NaNs"
+    # thin boxes are input-rounding-limited in bf16 (the covariance terms
+    # carry w^2); the contract for bf16 INPUTS is finite + correlated.
+    # (The assigner itself no longer feeds probiou bf16 inputs — it keeps
+    # the IoU math f32 and casts only the [B,M,A] output.)
+    assert np.corrcoef(r16, r32)[0, 1] > 0.6
+
+    # end-to-end: the rotated assigner with bf16 metric gives finite scores
+    pd_scores, pd_boxes, anc, labels, gt, mask, nc = _toy_assigner_inputs(rotated=True)
+    gt[0, 0] = [32, 32, 40, 2.5, 0.77]  # thin rotated gt
+    pd_boxes[:] = gt[0, 0]
+    res = task_aligned_assigner(
+        jnp.asarray(pd_scores), jnp.asarray(pd_boxes), anc,
+        jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask),
+        num_classes=nc, rotated=True, bf16_metric=True)
+    assert np.isfinite(np.asarray(res.target_scores)).all()
