@@ -299,7 +299,9 @@ def build_dataloader(
             ))
     n = len(order)
     nb = n // batch_size if drop_last else math.ceil(n / batch_size)
+    tiny_real = None
     if nb == 0 and n > 0:  # tiny dataset: repeat to fill one batch
+        tiny_real = n  # the repeats are padding for scoring purposes
         order = np.resize(order, batch_size)
         nb = 1
     if multi_scale:
@@ -308,6 +310,7 @@ def build_dataloader(
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for b in range(nb):
             idxs = order[b * batch_size : (b + 1) * batch_size]
+            n_real = tiny_real if tiny_real is not None else len(idxs)
             if len(idxs) < batch_size:
                 idxs = np.resize(idxs, batch_size)
             if batch_shapes is not None:
@@ -325,4 +328,7 @@ def build_dataloader(
             batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
             if with_meta:
                 batch["im_files"] = [ds.samples[int(i)].im_file for i in idxs]
+                # consumers must not score tail-padding repeats; a path-set
+                # dedup would wrongly drop legitimate duplicate paths
+                batch["n_real"] = n_real
             yield batch

@@ -96,7 +96,6 @@ class Validator:
             from quan_ultralytics_tpu.engine.dota_eval import DOTASubmission
 
             submission = DOTASubmission(ds.names)
-        image_idx = 0
         if self.mesh is not None:
             from quan_ultralytics_tpu.parallel.mesh import replicate
 
@@ -113,8 +112,10 @@ class Validator:
             det, ok, proto = self._infer(variables, img)
             det, ok, proto = np.asarray(det), np.asarray(ok), np.asarray(proto)
             Hb, Wb = batch["img"].shape[1:3]  # == (imgsz, imgsz) unless rect
-            # the tail batch pads by repeating indices; don't double-count
-            n_real = len(set(batch["im_files"]))
+            # the tail batch pads by repeating indices; the loader marks the
+            # real count explicitly (a path-set dedup would wrongly drop
+            # legitimate duplicate dataset entries)
+            n_real = int(batch.get("n_real", det.shape[0]))
             for b in range(min(det.shape[0], n_real)):
                 keep = ok[b]
                 extras = None
@@ -198,7 +199,6 @@ class Validator:
                             "score": round(float(conf[bi]), 5),
                             **extra,
                         })
-            image_idx += det.shape[0]
         if json_dets is not None:
             import json as _json
 

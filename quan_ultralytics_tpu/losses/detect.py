@@ -71,6 +71,8 @@ def _dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.
 
 def _split_preds(feats: Sequence[jnp.ndarray], nc: int, reg_max: int):
     x = flatten_levels(feats).astype(jnp.float32)  # [B, A, 4*reg_max + nc]
+    assert x.shape[-1] == 4 * reg_max + nc, \
+        f"head channels {x.shape[-1]} != 4*{reg_max}+{nc}"
     return x[..., : 4 * reg_max], x[..., 4 * reg_max :]
 
 
@@ -259,6 +261,10 @@ def obb_loss(
     ang = quaternion_angular_loss(q_pred, q_tgt)  # [B, A]
     loss_ang = (ang * weight).sum() / target_scores_sum
     # Unit-norm regularizer (loss.py:913-922): mean over fg predictions.
+    # NOTE: faithfully ~zero — the reference also builds q_pred from
+    # angle_to_quaternion ([cos t/2, 0, 0, sin t/2], unit by construction,
+    # loss.py:1014+1023), so its reg term is a no-op there too; kept for
+    # exact loss-value parity.
     norm_sq = (q_pred**2).sum(-1)
     reg = (((norm_sq - 1.0) ** 2) * fg).sum() / jnp.maximum(fg.sum(), 1.0)
     loss_quat = loss_ang + hyp.lambda_reg * reg

@@ -191,6 +191,11 @@ class QConv2D(nn.Module):
             from quan_ultralytics_tpu.ops.qconv import qconv2d_packed
 
             assert self.g == 1 and self.d in (1, (1, 1)), "packed conv: g=1, d=1 only"
+            # expand_w_packed builds the width tap map from the HEIGHT
+            # stride/pad — non-square would be silently wrong
+            sh_, sw_ = (self.s, self.s) if isinstance(self.s, int) else self.s
+            assert sh_ == sw_ and pad[0] == pad[1], \
+                "packed conv: square stride/padding only"
             ri, ro = {"in": (2, 1), "out": (1, 2), "both": (2, 2)}[self.packed]
             if packed_first:
                 # cin=1 on the RGB layer, so the packed channel count tells
@@ -366,7 +371,8 @@ class Conv(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         import os
 
-        k1 = self.k in (1, (1, 1))
+        k1 = (self.k in (1, (1, 1)) and self.s in (1, (1, 1))
+              and self.p in (None, 0, (0, 0)))  # qconv1x1_fused has no stride/pad
         if (not train and k1 and self.g == 1 and self.stem_mode is None
                 and self.packed is None
                 and self.c1 != 3 and os.environ.get("QUAN_FUSED_1X1") == "1"):

@@ -73,11 +73,6 @@ def expand_w_l1(w3: jnp.ndarray) -> jnp.ndarray:
     return w2.reshape(2, 2, 4 * cin, cout)
 
 
-def tile_affine_for_phases(p: jnp.ndarray) -> jnp.ndarray:
-    """IQBN gamma/beta [4(comp), C] -> [4, 4*C] matching phase-major packing."""
-    return jnp.tile(p, (1, 4))
-
-
 def expand_w_l0_s2d4(w3: jnp.ndarray) -> jnp.ndarray:
     """Layer-0 conv consuming an r=4 space-to-depth-packed input and emitting
     the r=2 packed output: [3, 3, cin, cout] -> [2, 2, 16*cin, 4*cout].

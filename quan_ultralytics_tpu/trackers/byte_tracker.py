@@ -105,7 +105,13 @@ class STrack:
 
     def predict(self, kf):
         if self.state != "tracked":
-            self.mean[7] = 0  # zero h-velocity for lost tracks
+            # zero size velocities for lost tracks: xyah zeroes h-velocity
+            # (reference byte_tracker.py multi_predict), xywh zeroes BOTH
+            # w- and h-velocity (reference bot_sort.py STrack.predict
+            # mean[6:8]) — else a lost growing box keeps inflating
+            self.mean[7] = 0
+            if self.fmt == "xywh":
+                self.mean[6] = 0
         self.mean, self.cov = kf.predict(self.mean, self.cov)
 
 
@@ -135,7 +141,11 @@ class BYTETracker:
         dets_high = [STrack(b, s, c, self.fmt) for b, s, c in zip(xyxy, scores, cls) if s >= self.high]
         dets_low = [STrack(b, s, c, self.fmt) for b, s, c in zip(xyxy, scores, cls) if self.low <= s < self.high]
 
-        pool = self.tracked + self.lost
+        # unconfirmed = activated last frame, never matched since; they get
+        # their own association round and die on a single miss (reference
+        # byte_tracker.py: unmatched unconfirmed tracks are removed)
+        unconfirmed = [t for t in self.tracked if not t.is_activated]
+        pool = [t for t in self.tracked if t.is_activated] + self.lost
         for t in pool:
             t.predict(self.kf)
 
@@ -161,16 +171,25 @@ class BYTETracker:
             t = pool[i]
             if t.state == "lost" and self.frame_id - t.frame_id > self.buffer:
                 t.state = "removed"
-            elif t.state == "tracked" and t not in leftover:
-                pass
 
-        # new tracks from unmatched high-score detections
-        for di in ud:
-            det = dets_high[di]
+        # stage 3: unconfirmed tracks vs the remaining high-score dets
+        # (reference threshold 0.7); a miss removes the track immediately
+        remaining = [dets_high[i] for i in ud]
+        d3 = self._dists(unconfirmed, remaining)
+        matches3, ut3, ud3 = linear_assignment(d3, 0.7)
+        for ti, di in matches3:
+            unconfirmed[ti].update(remaining[di], self.kf, self.frame_id)
+        for i in ut3:
+            unconfirmed[i].state = "removed"
+
+        # new tracks from still-unmatched high-score detections
+        for di in ud3:
+            det = remaining[di]
             if det.score >= self.new_thresh:
                 det.activate(self.kf, self.frame_id)
 
-        all_tracks = pool + [d for d in dets_high if d.track_id and d not in pool]
+        all_tracks = (pool + unconfirmed
+                      + [d for d in dets_high if d.track_id and d not in pool])
         self.tracked = [t for t in all_tracks if t.state == "tracked"]
         self.lost = [t for t in all_tracks if t.state == "lost"]
 

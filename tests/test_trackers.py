@@ -144,3 +144,31 @@ def test_crossing_tracks_keep_identity():
             id_hist.append(tuple(order))
     assert len(id_hist) >= 10
     assert id_hist[-1] == id_hist[0], f"identity switch through crossing: {id_hist}"
+
+
+def test_unconfirmed_track_removed_on_single_miss():
+    """A track born from one spurious detection must die when it misses the
+    next frame (reference removes unmatched unconfirmed tracks) — it must
+    NOT linger as 'lost' and resurrect under a later object (phantom ID)."""
+    from quan_ultralytics_tpu.trackers.byte_tracker import BYTETracker
+
+    tr = BYTETracker()
+    a = np.array([[10, 10, 30, 30]], np.float32)
+    spur = np.array([[10, 10, 30, 30], [200, 200, 230, 230]], np.float32)
+    tr.update(a, np.array([0.9]), np.array([0]))                 # frame 1: A
+    out2 = tr.update(spur, np.array([0.9, 0.9]), np.array([0, 0]))  # frame 2: A + spurious B
+    # B is unconfirmed (activated mid-stream) -> not yet emitted
+    ids2 = set(out2[:, 4].astype(int))
+    tr.update(a, np.array([0.9]), np.array([0]))                 # frame 3: B misses -> removed
+    assert all(t.state != "lost" or t.frame_id >= 2 for t in tr.lost)
+    # frame 4: a new object appears where B was; it must get a FRESH id
+    out4 = tr.update(spur, np.array([0.9, 0.9]), np.array([0, 0]))
+    new_ids = set(out4[:, 4].astype(int)) - ids2
+    # the B-location track in frame 4 is unconfirmed again (not emitted);
+    # crucially nothing resurrected: no lost tracks from the spurious det
+    assert not any(t.state == "lost" and t.start_frame == 2 for t in tr.lost + tr.tracked)
+    out5 = tr.update(spur, np.array([0.9, 0.9]), np.array([0, 0]))
+    ids5 = sorted(out5[:, 4].astype(int))
+    assert len(ids5) == 2
+    # the second track's id postdates the (removed) frame-2 spurious track
+    assert ids5[1] > 2
