@@ -94,18 +94,27 @@ def main():
         try:
             img_per_s = _measure()
         except Exception as e:
-            print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
-                  f"process in 60s", file=sys.stderr)
-            time.sleep(60)
+            # escalating backoff: the tunnel wedges for a while after process
+            # churn, so spaced fresh-process attempts beat one quick retry
+            retries = int(os.environ.get("QUAN_BENCH_RETRIES", "3"))
+            delays = [60, 300, 600][:retries]
+            print(f"bench attempt 1 failed ({e!r}); {len(delays)} fresh-"
+                  f"process retries with backoff {delays}", file=sys.stderr)
             env = dict(os.environ, QUAN_BENCH_CHILD="1")
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=1800)
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            if out.returncode == 0 and line.startswith("{"):
-                print(line)
-                return
-            print(out.stderr[-2000:], file=sys.stderr)
+            last = None
+            for d in delays:
+                time.sleep(d)
+                out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                     env=env, capture_output=True, text=True,
+                                     timeout=1800)
+                line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+                if out.returncode == 0 and line.startswith("{"):
+                    print(line)
+                    return
+                last = out.stderr[-2000:]
+                print(f"retry failed (rc={out.returncode})", file=sys.stderr)
+            if last:
+                print(last, file=sys.stderr)
             raise
     print(json.dumps({
         "metric": "quan_yolo11n_obb_infer_imgs_per_sec_at_1024",

@@ -218,6 +218,12 @@ def make_sample(ds: YOLODataset, idx: int, imgsz: int, hyp: Optional[AugmentHyp]
             vis = s.kpts[..., 2] if s.kpts is not None and len(s.kpts) else None
         out = _format(im, corners, cls, ds.task, imgsz, max_labels, vis=vis)
         out.update(meta)
+        if ds.task == "segment":
+            # letterboxed-pixel polygons for native-resolution mask eval
+            # (Validator mask_native; reference ops.process_mask_native).
+            # Variable count per image -> collated as a list, not stacked.
+            n = min(corners.shape[0], max_labels)
+            out["polys"] = corners[:n].astype(np.float32)
         return out
     if ds.task == "pose":
         return _pose_sample(ds, idx, imgsz, hyp, max_labels, rng, augment)
@@ -325,7 +331,10 @@ def build_dataloader(
                                       augment, with_meta=with_meta),
                 zip(idxs, child_rngs),
             ))
-            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]
+                     if k != "polys"}
+            if "polys" in samples[0]:
+                batch["polys"] = [s["polys"] for s in samples]
             if with_meta:
                 batch["im_files"] = [ds.samples[int(i)].im_file for i in idxs]
                 # consumers must not score tail-padding repeats; a path-set

@@ -2,8 +2,8 @@
 
 Analog of reference engine/model.py (Model :29): ``YOLO("yolo11n-obb-quan.yaml")``
 then ``.train(...)`` / ``.val(...)`` / ``.predict(...)``. Weights live in an
-explicit variables pytree (JAX-style); checkpoints are pickled pytrees plus
-orbax for training state.
+explicit variables pytree (JAX-style); checkpoints are pickled pytrees
+(utils/checkpoint.py, one format for both weights and training state).
 """
 
 from __future__ import annotations
@@ -144,17 +144,42 @@ class YOLO:
             batch: int = 8, conf: float = 0.001, iou: float = 0.7,
             save_json: Optional[str] = None, save_submission: Optional[str] = None,
             cache: Optional[str] = None, rect: bool = False,
-            mesh=None) -> Dict[str, float]:
+            mask_native: bool = False, mesh=None) -> Dict[str, float]:
         ds = YOLODataset(data, split=split, task=self.task, cache=cache)
         validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou, mesh=mesh)
         out = validator(self._ensure_variables(), ds, batch_size=batch,
                         save_json=save_json, save_submission=save_submission,
-                        rect=rect)
+                        rect=rect, mask_native=mask_native)
         # per-run confusion matrix, printed like reference BaseValidator
         print(validator.confusion.summary(names=list(ds.names.values())
                                           if isinstance(ds.names, dict) else ds.names))
         self.confusion = validator.confusion
         return out
+
+    def embed(self, source, layers: Optional[List[int]] = None,
+              imgsz: int = 640) -> np.ndarray:
+        """Feature embeddings (reference engine/model.py:465 Model.embed /
+        nn/tasks.py:163-166): spatially averaged feature vectors from the
+        given layer indices (default: the second-to-last layer, matching the
+        reference's ``embed=[len(model)-2]``), concatenated per image.
+        Returns ``[B, D]`` float32."""
+        from quan_ultralytics_tpu.data.augment import letterbox
+        from quan_ultralytics_tpu.data.loaders import load_source
+
+        if isinstance(source, (str, Path)):
+            images = list(load_source(source))
+        elif isinstance(source, np.ndarray) and source.ndim == 3:
+            images = [source]
+        else:
+            images = list(source)
+        x = np.stack([letterbox(im, imgsz)[0] for im in images])
+        x = jnp.asarray(x.astype(np.float32) / 255.0)
+        layers = sorted(layers or [len(self.model.specs) - 2])
+        _, feats = self.model.features(self._ensure_variables(), x, layers=layers)
+        # [B, H, W, 4, C] -> mean over space -> [B, 4*C]; concat across layers
+        pooled = [np.asarray(feats[i].mean(axis=(1, 2)), np.float32).reshape(len(images), -1)
+                  for i in layers]
+        return np.concatenate(pooled, axis=1)
 
     def export(self, format: str = "exported", imgsz: int = 640, batch: int = 1,
                path: Optional[str] = None, half: bool = False,
@@ -212,12 +237,29 @@ class YOLO:
         return tuner(iterations)
 
     def predict(self, source, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,
-                max_det: int = 300) -> List[Results]:
+                max_det: int = 300, visualize=False) -> List[Results]:
         if not hasattr(self.model, "module"):
             imgsz = self.model.imgsz  # exported artifacts have a fixed shape
         predictor = Predictor(self.model, imgsz=imgsz, conf=conf, iou=iou,
                               max_det=max_det, names=self.names)
-        return predictor(self._ensure_variables(), source)
+        results = predictor(self._ensure_variables(), source)
+        if visualize and hasattr(self.model, "module") and results:
+            # reference predict visualize arg (nn/tasks.py:140 _predict_once
+            # -> utils/plotting.py:1346): per-layer feature grids, named
+            # stage{i}_{Module}_features.png like the reference
+            from quan_ultralytics_tpu.data.augment import letterbox
+            from quan_ultralytics_tpu.utils.plotting import feature_visualization
+
+            out_dir = Path(visualize if isinstance(visualize, (str, Path))
+                           else "runs/visualize")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            im = results[0].orig_img
+            x = jnp.asarray(letterbox(im, imgsz)[0].astype(np.float32) / 255.0)[None]
+            _, feats = self.model.features(self._ensure_variables(), x)
+            for i, f in sorted(feats.items()):
+                feature_visualization(
+                    f, out_dir / f"stage{i}_{self.model.specs[i].module}_features.png")
+        return results
 
     def track(self, frames, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,
               tracker: str = "bytetrack", persist: bool = False):

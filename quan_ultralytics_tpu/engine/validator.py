@@ -67,7 +67,8 @@ class Validator:
 
     def __call__(self, variables, ds: YOLODataset, batch_size: int = 8,
                  max_labels: int = 256, save_json: Optional[str] = None,
-                 save_submission: Optional[str] = None, rect: bool = False) -> Dict[str, float]:
+                 save_submission: Optional[str] = None, rect: bool = False,
+                 mask_native: bool = False) -> Dict[str, float]:
         """Run validation. Optional outputs:
 
         save_json: COCO-format detections in SOURCE-image coordinates
@@ -77,6 +78,11 @@ class Validator:
           the ``{stem}__{x}_{y}`` naming, cross-patch rotated NMS applied,
           and Task1_{class}.txt files written (reference obb/val.py
           pred_to_json/eval_json via engine/dota_eval.DOTASubmission).
+        mask_native: segment only — evaluate masks at network-input
+          resolution (sigmoid at proto res, bilinear upsample, crop at full
+          res, threshold 0.5; GT rasterized from the letterboxed polygons)
+          instead of the default proto-resolution eval. Mirrors reference
+          ops.process_mask_native vs process_mask (segment/val.py).
         """
         rotated = self.model.task == "obb"
         task = self.model.task
@@ -146,23 +152,42 @@ class Validator:
                 self.confusion.process_batch(pred_boxes, conf, cls, gt_boxes, gt_cls,
                                              rotated=rotated)
                 if metrics2 is not None and task == "segment":
-                    # mask mAP at proto resolution (reference segment/val.py
-                    # _process_batch(masks=True) with downsampled GT masks)
+                    # mask mAP (reference segment/val.py _process_batch
+                    # masks=True). Default: proto resolution with downsampled
+                    # GT (reference process_mask). mask_native: input
+                    # resolution (reference process_mask_native).
                     from quan_ultralytics_tpu.utils.metrics import mask_iou_np
 
                     pb = proto[b]                              # [Hp, Wp, nm]
                     Hp, Wp = pb.shape[:2]
-                    pm = 1.0 / (1.0 + np.exp(-(extras @ pb.reshape(-1, pb.shape[-1]).T)))
-                    pm = pm.reshape(-1, Hp, Wp) > 0.5
-                    # crop each pred mask to its box (proto scale)
-                    sx, sy = Wp / Wb, Hp / Hb
-                    yy = np.arange(Hp)[None, :, None]
-                    xx = np.arange(Wp)[None, None, :]
+                    prob = 1.0 / (1.0 + np.exp(-(extras @ pb.reshape(-1, pb.shape[-1]).T)))
+                    prob = prob.reshape(-1, Hp, Wp)
+                    if mask_native and "polys" in batch:
+                        import cv2
+
+                        # sigmoid at proto res -> bilinear upsample -> crop
+                        # at full res -> threshold (ops.process_mask_native)
+                        Hm, Wm, sx, sy = Hb, Wb, 1.0, 1.0
+                        pm = (np.stack([cv2.resize(m, (Wb, Hb),
+                                                   interpolation=cv2.INTER_LINEAR)
+                                        for m in prob])
+                              if len(prob) else prob.reshape(0, Hb, Wb))
+                        n_gt = int(gmask.sum())
+                        gtm = np.zeros((n_gt, Hb, Wb), np.float32)
+                        for j, poly in enumerate(batch["polys"][b][:n_gt]):
+                            cv2.fillPoly(gtm[j], [poly.astype(np.int32)], 1.0)
+                        gtm = gtm > 0.5
+                    else:
+                        Hm, Wm, sx, sy = Hp, Wp, Wp / Wb, Hp / Hb
+                        pm = prob
+                        gtm = batch["masks"][b][gmask] > 0.5
+                    # crop each pred mask to its box (mask scale)
+                    yy = np.arange(Hm)[None, :, None]
+                    xx = np.arange(Wm)[None, None, :]
                     bx = pred_boxes
                     inside = ((xx >= bx[:, 0, None, None] * sx) & (xx < bx[:, 2, None, None] * sx)
                               & (yy >= bx[:, 1, None, None] * sy) & (yy < bx[:, 3, None, None] * sy))
-                    pm = pm & inside
-                    gtm = batch["masks"][b][gmask] > 0.5
+                    pm = (pm > 0.5) & inside
                     iou_m = mask_iou_np(gtm, pm) if len(gtm) and len(pm) else None
                     metrics2.update(pred_boxes, conf, cls.astype(np.float32),
                                     gt_boxes, gt_cls, iou=iou_m)

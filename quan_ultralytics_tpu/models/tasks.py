@@ -161,6 +161,9 @@ class QUANYOLO(nn.Module):
     # (expand_w_packed), eliminating the pack/unpack layout-flip copies the
     # two-layer stem leaves at the 256-grid (~12 ms/iter @1024 b16 profiled).
     # Identical math and params; overrides stem_s2d when the prefix matches.
+    capture: bool = False  # sow per-layer outputs into the "intermediates"
+    # collection (reference nn/tasks.py:140 _predict_once visualize/embed);
+    # read back with apply(..., mutable=["intermediates"]).
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -241,6 +244,9 @@ class QUANYOLO(nn.Module):
                 out = y
             else:  # pragma: no cover
                 raise ValueError(f"unknown module {m}")
+            if self.capture and isinstance(y, jnp.ndarray):
+                # distinct from the submodule scope name (flax forbids reuse)
+                self.sow("intermediates", f"feat_{spec.i}", y)
             if spec.i in self.save:
                 saved[spec.i] = y
         # head output if present; else the last layer's tensor (lets graph
@@ -289,6 +295,20 @@ class DetectionModel:
 
     def apply(self, variables, x, train: bool = False, mutable=False, rngs=None):
         return self.module.apply(variables, x, train=train, mutable=mutable, rngs=rngs)
+
+    def features(self, variables, x, layers=None):
+        """Per-layer feature maps (reference nn/tasks.py:140 `_predict_once`
+        with visualize/embed): returns ``(head_out, {layer_i: tensor})`` for
+        every layer whose output is a plain tensor (heads return tuples and
+        are skipped, like the reference's embed path stops before the head).
+        ``layers``: optional iterable of layer indices to keep."""
+        mod = self.module.clone(capture=True)
+        out, st = mod.apply(variables, x, train=False, mutable=["intermediates"])
+        feats = {int(k.rsplit("_", 1)[1]): v[0]
+                 for k, v in st["intermediates"].items()}
+        if layers is not None:
+            feats = {int(i): feats[int(i)] for i in layers}
+        return out, feats
 
     def decode(self, out):
         """Head output -> [B, A, ...] predictions in input-pixel units."""

@@ -75,6 +75,35 @@ def plot_results(results, path: str = "results_annotated.jpg", source_im: Option
     return out
 
 
+def feature_visualization(feat, path="features.png", n: int = 32):
+    """Save a grid of per-channel feature maps as one grayscale PNG
+    (reference utils/plotting.py:1346 feature_visualization).
+
+    feat: ``[H, W, 4, C]`` or ``[B, H, W, 4, C]`` (first image used); the
+    quaternion-component axis is flattened into channels. Each of the first
+    ``n`` channel maps is min-max normalized independently."""
+    feat = np.asarray(feat, np.float32)
+    if feat.ndim == 5:
+        feat = feat[0]
+    feat = feat.reshape(feat.shape[0], feat.shape[1], -1)
+    n = min(n, feat.shape[-1])
+    if n == 0:
+        return None
+    cols = math.ceil(math.sqrt(n))
+    rows = math.ceil(n / cols)
+    cell = 96
+    canvas = np.zeros((rows * cell, cols * cell), np.uint8)
+    for i in range(n):
+        ch = feat[..., i]
+        lo, hi = float(ch.min()), float(ch.max())
+        img = ((ch - lo) / (hi - lo + 1e-9) * 255.0).astype(np.uint8)
+        img = cv2.resize(img, (cell, cell), interpolation=cv2.INTER_NEAREST)
+        r, c = divmod(i, cols)
+        canvas[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell] = img
+    cv2.imwrite(str(path), canvas)
+    return str(path)
+
+
 def plot_images(batch, path: str = "train_batch.jpg", max_ims: int = 16, names=None):
     """Mosaic plot of a train batch with its (rotated) targets
     (reference plot_images / output_to_rotated_target)."""

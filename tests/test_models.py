@@ -152,3 +152,46 @@ def test_model_scales_parse_and_run():
     v = m.init(jax.random.PRNGKey(0), imgsz=64)
     feats, angles = m.module.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
     assert len(feats) == 3 and angles[0].shape[0] == 1
+
+
+def test_features_embed_and_visualization(tmp_path):
+    """Intermediate capture + embed + feature_visualization (reference
+    nn/tasks.py:140 _predict_once embed/visualize, engine/model.py:465
+    Model.embed, utils/plotting.py:1346 feature_visualization)."""
+    from quan_ultralytics_tpu.engine.model import YOLO
+    from quan_ultralytics_tpu.utils.plotting import feature_visualization
+
+    model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15)
+    v = model.init(jax.random.PRNGKey(0), imgsz=64)
+    x = jnp.asarray(np.random.rand(2, 64, 64, 3).astype(np.float32))
+
+    out, feats = model.features(v, x)
+    # every non-head layer captured; tensors are BHWQC
+    n_layers = len(model.specs)
+    assert set(feats) >= {0, 1, n_layers - 2}
+    f = feats[n_layers - 2]
+    assert f.ndim == 5 and f.shape[0] == 2 and f.shape[3] == 4
+    # capture must not perturb the forward
+    feats2, angles2 = model.apply(v, x)
+    assert np.allclose(np.asarray(out[0][0]), np.asarray(feats2[0]), atol=1e-5)
+    # layer filter
+    _, only3 = model.features(v, x, layers=[3])
+    assert set(only3) == {3}
+
+    # init must not leak an "intermediates" collection into checkpoints
+    assert "intermediates" not in v
+
+    # YOLO.embed: default second-to-last layer, pooled + concatenated
+    y = YOLO("yolo11n-obb-quan.yaml", nc=15)
+    y.variables = y.model.init(jax.random.PRNGKey(0), imgsz=64)
+    im = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    emb = y.embed([im, im], imgsz=64)
+    assert emb.shape[0] == 2 and emb.shape[1] == int(np.prod(f.shape[3:]))
+    assert np.allclose(emb[0], emb[1])  # identical inputs -> identical embeddings
+    assert np.isfinite(emb).all()
+
+    # feature grid PNG
+    p = feature_visualization(f, tmp_path / "feat.png", n=9)
+    import cv2
+    g = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+    assert g is not None and g.shape == (3 * 96, 3 * 96)

@@ -298,6 +298,34 @@ def test_segment_validator_mask_map(tmp_path, seg_model):
     assert set(res) >= {"mAP50", "mAP50-95", "mAP50(M)", "mAP50-95(M)"}
 
 
+def test_segment_validator_mask_native(tmp_path, seg_model):
+    """mask_native=True: GT rasterized at input res from the letterboxed
+    polygons shipped in the batch meta; pred masks bilinearly upsampled
+    (reference ops.process_mask_native vs process_mask)."""
+    from quan_ultralytics_tpu.data.build import build_dataloader
+    from quan_ultralytics_tpu.data.dataset import YOLODataset
+    from quan_ultralytics_tpu.engine.validator import Validator
+
+    yml = _make_seg_dataset(tmp_path / "segnat")
+    ds = YOLODataset(yml, split="val", task="segment")
+    b = next(iter(build_dataloader(ds, 4, imgsz=64, hyp=None, augment=False,
+                                   max_labels=8, shuffle=False,
+                                   drop_last=False, with_meta=True)))
+    assert isinstance(b["polys"], list) and len(b["polys"]) == 4
+    for i in range(4):
+        n = int(b["mask"][i].sum())
+        assert b["polys"][i].shape[0] == n and b["polys"][i].shape[2] == 2
+        # polygons live in letterboxed pixel coords
+        if n:
+            assert b["polys"][i].min() >= -1 and b["polys"][i].max() <= 65
+
+    m, v = seg_model
+    val = Validator(m, imgsz=64, conf=0.01)
+    res = val(v, ds, batch_size=4, mask_native=True)
+    assert set(res) >= {"mAP50", "mAP50(M)", "mAP50-95(M)"}
+    assert all(np.isfinite(x) for x in res.values())
+
+
 def test_pose_validator_oks_map(tmp_path, pose_model):
     import cv2
     import yaml
