@@ -159,9 +159,79 @@ def export_tflite(model: DetectionModel, variables, imgsz: int = 640,
     return path
 
 
+def export_saved_model(model: DetectionModel, variables, imgsz: int = 640,
+                       batch: int = 1, path: str = "model_saved_model",
+                       names=None) -> str:
+    """Export forward+decode as a TF SavedModel directory (reference
+    exporter.py export_saved_model; format='saved_model'/'pb').
+
+    jax2tf graph serialization -> tf.saved_model.save with a
+    serving_default signature; weights are baked into the graph. Reload
+    with `SavedModelBackend` or plain `tf.saved_model.load` — no jax, no
+    model code (tests/test_export_roundtrip.py)."""
+    from jax.experimental import jax2tf
+    import tensorflow as tf
+
+    def forward(img):
+        out = model.module.apply(variables, img, train=False)
+        return model.decode(out)
+
+    tf_fn = tf.function(
+        jax2tf.convert(forward, native_serialization=False), autograph=False,
+        input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.float32,
+                                       name="images")])
+    mod = tf.Module()
+    mod.f = tf_fn
+    tf.saved_model.save(
+        mod, str(path),
+        signatures={"serving_default": tf_fn.get_concrete_function()})
+    meta = {"task": model.task, "nc": model.nc, "names": names,
+            "imgsz": imgsz, "batch": batch,
+            "strides": tuple(int(s) for s in model.strides)}
+    (Path(path) / "quan_meta.pkl").write_bytes(pickle.dumps(meta))
+    return str(path)
+
+
+class SavedModelBackend:
+    """Run an exported SavedModel through TF's runtime (reference
+    nn/autobackend.py saved_model branch). Not jax-traceable — the
+    Predictor calls it eagerly and jits only the NMS tail."""
+
+    jax_traceable = False
+
+    def __init__(self, path: str):
+        import tensorflow as tf
+
+        self._fn = tf.saved_model.load(str(path)).signatures["serving_default"]
+        meta_path = Path(path) / "quan_meta.pkl"
+        self.meta = pickle.loads(meta_path.read_bytes()) if meta_path.exists() else {}
+        self.task = self.meta.get("task", "detect")
+        self.nc = self.meta.get("nc")
+        self.names = self.meta.get("names")
+        self.imgsz = self.meta.get("imgsz")
+        spec = self._fn.structured_input_signature[1]
+        self.batch = int(next(iter(spec.values())).shape[0])
+
+    def __call__(self, img):
+        import numpy as np
+        import tensorflow as tf
+
+        img = np.asarray(img, np.float32)
+        b = img.shape[0]
+        assert b <= self.batch, f"exported for batch {self.batch}, got {b}"
+        if b < self.batch:
+            img = np.concatenate(
+                [img, np.zeros((self.batch - b, *img.shape[1:]), np.float32)])
+        out = self._fn(tf.constant(img))
+        return next(iter(out.values())).numpy()[:b]
+
+
 class TFLiteBackend:
     """Run an exported .tflite artifact through the TFLite interpreter
-    (reference nn/autobackend.py tflite branch)."""
+    (reference nn/autobackend.py tflite branch). Not jax-traceable — the
+    Predictor calls it eagerly and jits only the NMS tail."""
+
+    jax_traceable = False
 
     def __init__(self, path: str):
         import tensorflow as tf

@@ -31,12 +31,20 @@ class YOLO:
 
     def __init__(self, model: str = "yolo11n-obb-quan.yaml", nc: Optional[int] = None,
                  dtype: Any = None):
+        backend_cls = None
         if str(model).endswith(".hlo"):
-            # runnable exported artifact (engine/exporter.py ExportedBackend,
-            # the AutoBackend analog): predict-only, no model code executed
             from quan_ultralytics_tpu.engine.exporter import ExportedBackend
-
-            self.model = ExportedBackend(str(model))
+            backend_cls = ExportedBackend
+        elif str(model).endswith(".tflite"):
+            from quan_ultralytics_tpu.engine.exporter import TFLiteBackend
+            backend_cls = TFLiteBackend
+        elif (Path(str(model)) / "saved_model.pb").exists():
+            from quan_ultralytics_tpu.engine.exporter import SavedModelBackend
+            backend_cls = SavedModelBackend
+        if backend_cls is not None:
+            # runnable exported artifact (engine/exporter.py backends, the
+            # AutoBackend analog): predict-only, no model code executed
+            self.model = backend_cls(str(model))
             self.variables = {}
             self.model_yaml = self.model.meta.get("model_yaml")
             self.names = self.model.names
@@ -210,8 +218,14 @@ class YOLO:
             return export_tflite(self.model, variables, imgsz=imgsz, batch=batch,
                                  names=self.names, path=path or "model.tflite",
                                  half=half, int8=int8)
-        raise ValueError(
-            f"unknown export format {format!r} (exported|stablehlo|params|tflite)")
+        if format in ("saved_model", "pb"):
+            from quan_ultralytics_tpu.engine.exporter import export_saved_model
+
+            return export_saved_model(self.model, variables, imgsz=imgsz,
+                                      batch=batch, names=self.names,
+                                      path=path or "model_saved_model")
+        raise ValueError(f"unknown export format {format!r} "
+                         f"(exported|stablehlo|params|tflite|saved_model)")
 
     def tune(self, data: Union[str, Dict], iterations: int = 10, epochs: int = 5,
              imgsz: int = 640, batch: int = 16, save_dir: str = "runs/tune",

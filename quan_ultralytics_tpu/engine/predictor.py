@@ -204,7 +204,7 @@ class Predictor:
                                               extra_dim=self.extra_dim)
                 proto = out[2] if model.task == "segment" else jnp.zeros((img.shape[0], 1, 1, 1))
                 return det, ok, proto
-        else:
+        elif getattr(model, "jax_traceable", True):
             # ExportedBackend (engine/exporter.py): the artifact contains
             # forward+decode; only NMS runs live (reference AutoBackend path)
             @jax.jit
@@ -215,6 +215,21 @@ class Predictor:
                 det, ok = non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
                                               max_det=self.max_det, nc=model.nc, rotated=rotated)
                 return det, ok, jnp.zeros((img.shape[0], 1, 1, 1))
+        else:
+            # TFLite / SavedModel backends run under their own runtime, not
+            # under jax tracing (reference AutoBackend non-torch branches):
+            # forward+decode eagerly, then the jitted NMS tail.
+            @jax.jit
+            def nms_tail(pred):
+                return non_max_suppression(pred, conf_thres=self.conf, iou_thres=self.iou,
+                                           max_det=self.max_det, nc=model.nc, rotated=rotated)
+
+            def infer(variables, img):
+                x = np.asarray(img)
+                if x.dtype == np.uint8:
+                    x = x.astype(np.float32) / 255.0
+                det, ok = nms_tail(jnp.asarray(model(x)))
+                return det, ok, jnp.zeros((x.shape[0], 1, 1, 1))
 
         self._infer = infer
 

@@ -128,3 +128,44 @@ def test_tflite_half_and_int8_variants(exported_obb, tmp_path):
         assert got.shape == live.shape
         # quantized weights: coarse agreement on the decoded boxes/logits
         assert np.abs(got - live).max() / (np.abs(live).max() + 1e-6) < tol
+
+
+def test_saved_model_export_matches_live(exported_obb, tmp_path):
+    """format=saved_model: the SavedModel runs under TF's runtime (no jax,
+    no model code) and matches the live forward+decode."""
+    pytest.importorskip("tensorflow")
+    from quan_ultralytics_tpu.engine.exporter import SavedModelBackend
+
+    m, _ = exported_obb
+    path = m.export(format="saved_model", imgsz=64, batch=2,
+                    path=str(tmp_path / "saved"))
+    backend = SavedModelBackend(path)
+    assert backend.task == "obb" and backend.nc == 3 and backend.batch == 2
+    img = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    got = backend(img)
+    live = np.asarray(m.model.decode(
+        m.model.module.apply(m.variables, jnp.asarray(img), train=False)))
+    assert got.shape == live.shape
+    np.testing.assert_allclose(got, live, rtol=5e-3, atol=5e-3)
+    # smaller-batch calls pad internally
+    np.testing.assert_allclose(backend(img[:1]), live[:1], rtol=5e-3, atol=5e-3)
+
+
+def test_yolo_predict_from_tflite_and_saved_model(exported_obb, tmp_path):
+    """YOLO(artifact).predict() end-to-end for the non-jax-traceable
+    backends (reference AutoBackend reload-and-run across formats)."""
+    pytest.importorskip("tensorflow")
+    from quan_ultralytics_tpu.engine.model import YOLO
+
+    m, _ = exported_obb
+    paths = [m.export(format="tflite", imgsz=64, batch=1,
+                      path=str(tmp_path / "model.tflite")),
+             m.export(format="saved_model", imgsz=64, batch=1,
+                      path=str(tmp_path / "saved"))]
+    img = (np.random.RandomState(1).rand(48, 64, 3) * 255).astype(np.uint8)
+    for path in paths:
+        y = YOLO(path)
+        assert y.task == "obb" and y.names == ["a", "b", "c"]
+        res = y.predict(img, conf=0.0)
+        assert len(res) == 1 and res[0].task == "obb"
+        assert res[0].boxes.shape[1] == 7  # xywhr + conf + cls
