@@ -156,10 +156,14 @@ class QUANYOLO(nn.Module):
     stem_s2d: bool = True  # phase-composite stem (ops/stem.py): identical
     # math, ~identical params, avoids lane-padded narrow stem activations —
     # the stem was 45% of forward time at 1024px without it
-    stem_deep: bool = False  # deep phase packing: layers 0-3 (stem + first
-    # C3k2 + the P3 downsample conv) run entirely on the packed coarse grid
-    # (expand_w_packed), eliminating the pack/unpack layout-flip copies the
-    # two-layer stem leaves at the 256-grid (~12 ms/iter @1024 b16 profiled).
+    stem_deep: int = 0  # deep phase packing level (bool-compatible: True==1).
+    # 1: layers 0-3 (stem + first C3k2 + the P3 downsample conv) run
+    # entirely on the packed coarse grid (expand_w_packed), eliminating the
+    # pack/unpack layout-flip copies the two-layer stem leaves at the
+    # 256-grid (~12 ms/iter @1024 b16 profiled).
+    # 2: extend through layer 4's C3k2 (layer 5 unpacks; the saved P3 neck
+    # tap is depth-to-spaced once) — targets the residual stride-8
+    # W-minor<->C-minor flip copies.
     # Identical math and params; overrides stem_s2d when the prefix matches.
     capture: bool = False  # sow per-layer outputs into the "intermediates"
     # collection (reference nn/tasks.py:140 _predict_once visualize/embed);
@@ -175,11 +179,23 @@ class QUANYOLO(nn.Module):
         # deep phase packing: layers 0..3 must be Conv/Conv/C3k2/Conv (k=3,
         # s=2 convs), with no save-list reference into the packed region
         deep_ok = (
-            self.stem_deep and len(self.specs) > 3
+            bool(self.stem_deep) and len(self.specs) > 3
             and not any(i in self.save for i in (0, 1, 2))
             and all(self.specs[i].module == "Conv" and self.specs[i].args[2:4] == (3, 2)
                     for i in (0, 1, 3))
             and self.specs[2].module in ("C3k2", "QC3k2")
+        )
+        # level 2 (QUAN_STEM_DEEP=2): extend the packed region through layer
+        # 4's C3k2 so the narrow stride-8 tensors never materialize between
+        # layers 3-5 (the residual [B,H/8,W/8,4,C] W-minor<->C-minor flip
+        # copies in the b24/b128 profiles); the saved P3 neck tap is
+        # unpacked ONCE instead. Math-identical (tests/test_stem.py).
+        deep2 = (
+            deep_ok and int(self.stem_deep) >= 2 and len(self.specs) > 5
+            and 3 not in self.save
+            and self.specs[4].module in ("C3k2", "QC3k2")
+            and self.specs[5].module == "Conv"
+            and self.specs[5].args[2:4] == (3, 2)
         )
         for spec in self.specs:
             inputs = [y if j == -1 else saved[j] for j in spec.f]
@@ -189,7 +205,10 @@ class QUANYOLO(nn.Module):
                 stem_mode = None
                 packed = None
                 if deep_ok and spec.i in (0, 1, 3):
-                    packed = {0: "out", 1: "both", 3: "in"}[spec.i]
+                    packed = {0: "out", 1: "both",
+                              3: "both" if deep2 else "in"}[spec.i]
+                elif deep2 and spec.i == 5:
+                    packed = "in"
                 else:
                     # packed layout must stay strictly between layers 0 and 1
                     stem_ok = (
@@ -205,7 +224,8 @@ class QUANYOLO(nn.Module):
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m in ("C3k2", "QC3k2"):
-                y = C3k2_cls(*a, dtype=self.dtype, packed=deep_ok and spec.i == 2,
+                pk = (deep_ok and spec.i == 2) or (deep2 and spec.i == 4)
+                y = C3k2_cls(*a, dtype=self.dtype, packed=pk,
                              name=name)(inputs[0], train)
             elif m == "C2f":
                 y = B.C2f(*a, dtype=self.dtype, name=name)(inputs[0], train)
@@ -248,7 +268,14 @@ class QUANYOLO(nn.Module):
                 # distinct from the submodule scope name (flax forbids reuse)
                 self.sow("intermediates", f"feat_{spec.i}", y)
             if spec.i in self.save:
-                saved[spec.i] = y
+                if deep2 and spec.i == 4:
+                    # the packed form flows on to layer 5; the neck consumes
+                    # the standard layout via one depth-to-space
+                    from quan_ultralytics_tpu.ops.stem import depth_to_space_cmajor
+
+                    saved[spec.i] = depth_to_space_cmajor(y)
+                else:
+                    saved[spec.i] = y
         # head output if present; else the last layer's tensor (lets graph
         # prefixes run for profiling, utils/profiler.profile_layers)
         return out if out is not None else y
@@ -286,7 +313,7 @@ class DetectionModel:
         module = QUANYOLO(tuple(specs), tuple(save), dtype=dtype,
                           mapping_type=mapping_type, remat=remat,
                           stem_s2d=os.environ.get("QUAN_STEM_S2D", "1") != "0",
-                          stem_deep=os.environ.get("QUAN_STEM_DEEP", "0") == "1")
+                          stem_deep=int(os.environ.get("QUAN_STEM_DEEP", "0") or 0))
         return cls(cfg, scale, nc_, task, module, specs, strides, mapping_type=mapping_type)
 
     def init(self, rng, imgsz: int = 64):

@@ -148,6 +148,19 @@ def expand_w_packed(w: jnp.ndarray, s: int, p: int, ri: int, ro: int):
     return wk.reshape(KH, KW, ci * ri * ri, co * ro * ro), -mh_min, S
 
 
+def depth_to_space_cmajor(z: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Inverse of the channel-major packing: ``[B, Hc, Wc, 4, C*r*r]``
+    (packed channel index = c*(r*r) + a*r + b, expand_w_packed convention)
+    -> ``[B, Hc*r, Wc*r, 4, C]``. Used where a packed-region layer's output
+    must also be consumed unpacked (the saved neck taps under deep
+    packing level 2)."""
+    B, Hc, Wc, Q, Cr = z.shape
+    C = Cr // (r * r)
+    z = z.reshape(B, Hc, Wc, Q, C, r, r)       # [..., q, c, a, b]
+    z = z.transpose(0, 1, 5, 2, 6, 3, 4)       # [B, Hc, a, Wc, b, q, c]
+    return z.reshape(B, Hc * r, Wc * r, Q, C)
+
+
 def s2d4_rgb_mapped(x_rgb: jnp.ndarray, mapping_type: str) -> jnp.ndarray:
     """RGB [B, H, W, 3] -> quaternion-mapped, r=4 packed [B, H/4, W/4, 4, 16].
 

@@ -620,6 +620,32 @@ def s_l0train():
                  error=repr(e)[:250])
 
 
+@section("deep2")
+def s_deep2():
+    # deep packing level 2 (QUAN_STEM_DEEP=2): packed region through layer
+    # 4's C3k2, saved P3 tap unpacked once — targets the stride-8
+    # W-minor<->C-minor flip copies (~7.5 ms/step train b24, part of the
+    # 11.8 ms data-formatting bucket at b128 inference). 4x FLOPs on L4's
+    # 1x1s at 4x MXU occupancy; must measure.
+    base = {"QUAN_QCONV_IMPL": "auto", "QUAN_FUSED_ATTN": "1"}
+    for name, env in (("deep2", {**base, "QUAN_STEM_DEEP": "2"}),
+                      ("deep1", {**base, "QUAN_STEM_DEEP": "1"})):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(128, env=env)
+            emit(section="deep2", cfg=f"{name} b128", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="deep2", cfg=f"{name} b128", error=repr(e)[:200])
+    for name, env in (("deep2", {**base, "QUAN_STEM_DEEP": "2"}),
+                      ("deep1", {**base, "QUAN_STEM_DEEP": "1"})):
+        try:
+            ips, ms, cs = _train_step_ms(24, False, env)
+            emit(section="deep2", cfg=f"{name} b24 train", img_s=round(ips, 1),
+                 ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="deep2", cfg=f"{name} b24 train", error=repr(e)[:250])
+
+
 @section("u8in")
 def s_u8in():
     # uint8 device input + in-pipeline /255 (predictor semantics): the input
@@ -838,7 +864,7 @@ def main():
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
                                    s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8, s_l0train,
-                                   s_u8in, s_segpose, s_cls]}
+                                   s_u8in, s_deep2, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()
         try:

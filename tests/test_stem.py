@@ -286,3 +286,61 @@ def test_stem_l0_fine_matches_prepack(monkeypatch):
     feats_fine, ang_fine = mod_deep.apply(v, x, train=False)
     for a, b in zip(feats_fine + ang_fine, feats_pre + ang_pre):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_stem_deep2_parity():
+    """stem_deep=2 (packed region through layer 4's C3k2, saved P3 tap
+    unpacked via depth_to_space_cmajor) == the plain graph, SAME params."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    mod_off = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
+                       mapping_type=m.module.mapping_type, stem_s2d=False)
+    mod_d2 = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
+                      mapping_type=m.module.mapping_type, stem_deep=2)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = mod_off.init(jax.random.PRNGKey(0), x, train=False)
+    feats_off, ang_off = mod_off.apply(v, x, train=False)
+    feats_d2, ang_d2 = mod_d2.apply(v, x, train=False)
+    for a, b in zip(feats_d2 + ang_d2, feats_off + ang_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_depth_to_space_cmajor_roundtrip():
+    from quan_ultralytics_tpu.ops.stem import depth_to_space_cmajor
+
+    rng = np.random.default_rng(12)
+    y = jnp.asarray(rng.random((2, 8, 8, 4, 6)).astype(np.float32))
+    z = _pack_cmajor(y, 2)
+    np.testing.assert_array_equal(np.asarray(depth_to_space_cmajor(z, 2)),
+                                  np.asarray(y))
+
+
+def test_full_model_stem_deep2_train_step():
+    """Level-2 packed full graph trains end to end; gradients globally match
+    (same loose-tolerance rationale as the level-1 test above)."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    mod_off = QUANYOLO(m.module.specs, m.module.save, stem_s2d=False)
+    mod_d2 = QUANYOLO(m.module.specs, m.module.save, stem_deep=2)
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = mod_off.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(mod, params):
+        out, _ = mod.apply({**v, "params": params}, x, train=True, mutable=["batch_stats"])
+        feats, ang = out
+        return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in feats) * 1e-6
+
+    g_off = jax.grad(lambda p: loss(mod_off, p))(v["params"])
+    g_d2 = jax.grad(lambda p: loss(mod_d2, p))(v["params"])
+    lo = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g_off)])
+    ld = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g_d2)])
+    rel = float(jnp.linalg.norm(ld - lo) / (jnp.linalg.norm(lo) + 1e-12))
+    assert rel < 0.15, f"global gradient relative L2 error {rel}"
