@@ -620,6 +620,25 @@ def s_l0train():
                  error=repr(e)[:250])
 
 
+@section("lat")
+def s_lat():
+    # serving latency at small batch (docs/SERVING.md operating points):
+    # full pipeline ms/batch at b1/b4/b8, 640 and 1024.
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+           "QUAN_FUSED_ATTN": "1"}
+    for imgsz, nc, yaml, rot in ((640, 80, "yolo11n-quan.yaml", False),
+                                 (1024, 15, "yolo11n-obb-quan.yaml", True)):
+        for b in (1, 4, 8):
+            try:
+                ips, dt, cs = infer_pipeline_imgs(
+                    b, imgsz=imgsz, nc=nc, yaml=yaml, rotated=rot, env=env)
+                emit(section="lat", cfg=f"b{b} @{imgsz}",
+                     ms_batch=round(dt * 1e3, 2), img_s=round(ips, 1),
+                     compile_s=round(cs, 1))
+            except Exception as e:
+                emit(section="lat", cfg=f"b{b} @{imgsz}", error=repr(e)[:200])
+
+
 @section("deep2")
 def s_deep2():
     # deep packing level 2 (QUAN_STEM_DEEP=2): packed region through layer
@@ -864,7 +883,7 @@ def main():
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
                                    s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8, s_l0train,
-                                   s_u8in, s_deep2, s_segpose, s_cls]}
+                                   s_u8in, s_deep2, s_lat, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()
         try:
