@@ -620,6 +620,25 @@ def s_l0train():
                  error=repr(e)[:250])
 
 
+@section("d640train")
+def s_d640train():
+    # BASELINE config #4 shape: COCO detect train @640 (reference bs128).
+    # b128 may need remat at 640 (pixel volume ~ b50 @1024; b32 is the
+    # @1024 no-remat ceiling).
+    env = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+           "QUAN_FUSED_ATTN": "1"}
+    for Bt, remat in ((64, False), (128, False), (128, True)):
+        try:
+            ips, ms, cs = _task_train_step_ms("yolo11n-quan.yaml", None, Bt,
+                                              640, env, remat=remat)
+            emit(section="d640train", cfg=f"detect b{Bt} @640 remat={remat}",
+                 img_s=round(ips, 1), ms_step=round(ms, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="d640train", cfg=f"detect b{Bt} @640 remat={remat}",
+                 error=repr(e)[:250])
+
+
 @section("lat")
 def s_lat():
     # serving latency at small batch (docs/SERVING.md operating points):
@@ -695,7 +714,7 @@ def s_trainopt():
             emit(section="trainopt", cfg=f"attnv2 b{Bt}", error=repr(e)[:250])
 
 
-def _task_train_step_ms(yaml, task_extra, Bt, imgsz, env, iters=5, nc=80):
+def _task_train_step_ms(yaml, task_extra, Bt, imgsz, env, iters=5, nc=80, remat=False):
     """Train-step timing for seg/pose (task read from the YAML's head)."""
     import numpy as np
     import jax
@@ -709,7 +728,8 @@ def _task_train_step_ms(yaml, task_extra, Bt, imgsz, env, iters=5, nc=80):
         from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
         from quan_ultralytics_tpu.models.tasks import DetectionModel
 
-        model = DetectionModel.from_yaml(yaml, nc=nc, dtype=jnp.bfloat16)
+        model = DetectionModel.from_yaml(yaml, nc=nc, dtype=jnp.bfloat16,
+                                         remat=remat)
         cfg = TrainConfig(epochs=10, batch=Bt, imgsz=imgsz, nbs=Bt)
         trainer = Trainer(model, cfg, steps_per_epoch=100)
         state = trainer.init_state()
@@ -883,7 +903,7 @@ def main():
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
                                    s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8, s_l0train,
-                                   s_u8in, s_deep2, s_lat, s_segpose, s_cls]}
+                                   s_u8in, s_deep2, s_lat, s_d640train, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()
         try:
