@@ -112,16 +112,23 @@ def main():
             # escalating backoff: the tunnel wedges for a while after process
             # churn, so spaced fresh-process attempts beat one quick retry
             retries = int(os.environ.get("QUAN_BENCH_RETRIES", "3"))
-            delays = [60, 300, 600][:retries]
+            delays = ([60, 300, 600] + [900] * max(0, retries - 3))[:retries]
             print(f"bench attempt 1 failed ({e!r}); {len(delays)} fresh-"
                   f"process retries with backoff {delays}", file=sys.stderr)
             env = dict(os.environ, QUAN_BENCH_CHILD="1")
             last = None
             for d in delays:
                 time.sleep(d)
-                out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                     env=env, capture_output=True, text=True,
-                                     timeout=1800)
+                try:
+                    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                         env=env, capture_output=True, text=True,
+                                         timeout=1800)
+                except subprocess.TimeoutExpired:
+                    # a wedged tunnel manifests as a hang, not a fast error —
+                    # keep walking the backoff schedule
+                    last = "child timed out after 1800s"
+                    print(f"retry failed ({last})", file=sys.stderr)
+                    continue
                 line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
                 if out.returncode == 0 and line.startswith("{"):
                     print(line)

@@ -159,6 +159,20 @@ def export_tflite(model: DetectionModel, variables, imgsz: int = 640,
     return path
 
 
+def _pad_to_batch(img, batch: int):
+    """Zero-pad a [b<=batch, ...] f32 batch to the exported batch size;
+    returns (padded, b) so callers can slice outputs back to b."""
+    import numpy as np
+
+    img = np.asarray(img, np.float32)
+    b = img.shape[0]
+    assert b <= batch, f"exported for batch {batch}, got {b}"
+    if b < batch:
+        img = np.concatenate(
+            [img, np.zeros((batch - b, *img.shape[1:]), np.float32)])
+    return img, b
+
+
 def export_saved_model(model: DetectionModel, variables, imgsz: int = 640,
                        batch: int = 1, path: str = "model_saved_model",
                        names=None) -> str:
@@ -213,15 +227,9 @@ class SavedModelBackend:
         self.batch = int(next(iter(spec.values())).shape[0])
 
     def __call__(self, img):
-        import numpy as np
         import tensorflow as tf
 
-        img = np.asarray(img, np.float32)
-        b = img.shape[0]
-        assert b <= self.batch, f"exported for batch {self.batch}, got {b}"
-        if b < self.batch:
-            img = np.concatenate(
-                [img, np.zeros((self.batch - b, *img.shape[1:]), np.float32)])
+        img, b = _pad_to_batch(img, self.batch)
         out = self._fn(tf.constant(img))
         return next(iter(out.values())).numpy()[:b]
 
@@ -249,14 +257,7 @@ class TFLiteBackend:
         self.batch = int(self._in["shape"][0])
 
     def __call__(self, img):
-        import numpy as np
-
-        img = np.asarray(img, np.float32)
-        b = img.shape[0]
-        assert b <= self.batch, f"exported for batch {self.batch}, got {b}"
-        if b < self.batch:
-            img = np.concatenate(
-                [img, np.zeros((self.batch - b, *img.shape[1:]), np.float32)])
+        img, b = _pad_to_batch(img, self.batch)
         self._interp.set_tensor(self._in["index"], img)
         self._interp.invoke()
         return self._interp.get_tensor(self._out["index"])[:b]

@@ -260,19 +260,25 @@ class YOLO:
         if visualize and hasattr(self.model, "module") and results:
             # reference predict visualize arg (nn/tasks.py:140 _predict_once
             # -> utils/plotting.py:1346): per-layer feature grids, named
-            # stage{i}_{Module}_features.png like the reference
+            # stage{i}_{Module}_features.png like the reference, one
+            # directory per image for multi-image sources (one batched
+            # capture pass for all of them)
             from quan_ultralytics_tpu.data.augment import letterbox
             from quan_ultralytics_tpu.utils.plotting import feature_visualization
 
             out_dir = Path(visualize if isinstance(visualize, (str, Path))
                            else "runs/visualize")
-            out_dir.mkdir(parents=True, exist_ok=True)
-            im = results[0].orig_img
-            x = jnp.asarray(letterbox(im, imgsz)[0].astype(np.float32) / 255.0)[None]
+            x = jnp.asarray(np.stack(
+                [letterbox(r.orig_img, imgsz)[0] for r in results]
+            ).astype(np.float32) / 255.0)
             _, feats = self.model.features(self._ensure_variables(), x)
-            for i, f in sorted(feats.items()):
-                feature_visualization(
-                    f, out_dir / f"stage{i}_{self.model.specs[i].module}_features.png")
+            for bi in range(len(results)):
+                d = out_dir if len(results) == 1 else out_dir / f"im{bi}"
+                d.mkdir(parents=True, exist_ok=True)
+                for i, f in sorted(feats.items()):
+                    feature_visualization(
+                        f[bi:bi + 1],
+                        d / f"stage{i}_{self.model.specs[i].module}_features.png")
         return results
 
     def track(self, frames, imgsz: int = 640, conf: float = 0.25, iou: float = 0.45,

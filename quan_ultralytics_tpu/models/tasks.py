@@ -201,12 +201,18 @@ class QUANYOLO(nn.Module):
             inputs = [y if j == -1 else saved[j] for j in spec.f]
             name = f"model_{spec.i}"
             m, a = spec.module, spec.args
+            packed_out = None  # layout of this layer's OUTPUT when the
+            # packed stem flows through it: 'cmajor' (expand_w_packed) or
+            # 'phase' (phase-composite layer 0); sown/captured features are
+            # unpacked to the public [B,H,W,4,C] form below
             if m == "Conv":
                 stem_mode = None
                 packed = None
                 if deep_ok and spec.i in (0, 1, 3):
                     packed = {0: "out", 1: "both",
                               3: "both" if deep2 else "in"}[spec.i]
+                    if packed != "in":
+                        packed_out = "cmajor"
                 elif deep2 and spec.i == 5:
                     packed = "in"
                 else:
@@ -219,12 +225,16 @@ class QUANYOLO(nn.Module):
                     )
                     if stem_ok and spec.i in (0, 1):
                         stem_mode = "phase_out" if spec.i == 0 else "phase_in"
+                        if spec.i == 0:
+                            packed_out = "phase"
                 y = C.Conv(*a, mapping_type=self.mapping_type, dtype=self.dtype,
                            stem_mode=stem_mode, packed=packed, name=name)(inputs[0], train)
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m in ("C3k2", "QC3k2"):
                 pk = (deep_ok and spec.i == 2) or (deep2 and spec.i == 4)
+                if pk:
+                    packed_out = "cmajor"
                 y = C3k2_cls(*a, dtype=self.dtype, packed=pk,
                              name=name)(inputs[0], train)
             elif m == "C2f":
@@ -265,8 +275,17 @@ class QUANYOLO(nn.Module):
             else:  # pragma: no cover
                 raise ValueError(f"unknown module {m}")
             if self.capture and isinstance(y, jnp.ndarray):
+                fy = y
+                if packed_out == "cmajor":
+                    from quan_ultralytics_tpu.ops.stem import depth_to_space_cmajor
+
+                    fy = depth_to_space_cmajor(y)
+                elif packed_out == "phase":
+                    from quan_ultralytics_tpu.ops.stem import depth_to_space_phasemajor
+
+                    fy = depth_to_space_phasemajor(y)
                 # distinct from the submodule scope name (flax forbids reuse)
-                self.sow("intermediates", f"feat_{spec.i}", y)
+                self.sow("intermediates", f"feat_{spec.i}", fy)
             if spec.i in self.save:
                 if deep2 and spec.i == 4:
                     # the packed form flows on to layer 5; the neck consumes

@@ -161,6 +161,17 @@ def depth_to_space_cmajor(z: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return z.reshape(B, Hc * r, Wc * r, Q, C)
 
 
+def depth_to_space_phasemajor(z: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Inverse of the phase-major packing (expand_w_l0 convention, packed
+    channel index = a*r*C + b*C + c): ``[B, Hc, Wc, 4, C*r*r]`` ->
+    ``[B, Hc*r, Wc*r, 4, C]``."""
+    B, Hc, Wc, Q, Cr = z.shape
+    C = Cr // (r * r)
+    z = z.reshape(B, Hc, Wc, Q, r, r, C)       # [..., q, a, b, c]
+    z = z.transpose(0, 1, 4, 2, 5, 3, 6)       # [B, Hc, a, Wc, b, q, c]
+    return z.reshape(B, Hc * r, Wc * r, Q, C)
+
+
 def s2d4_rgb_mapped(x_rgb: jnp.ndarray, mapping_type: str) -> jnp.ndarray:
     """RGB [B, H, W, 3] -> quaternion-mapped, r=4 packed [B, H/4, W/4, 4, 16].
 

@@ -73,17 +73,21 @@ def val(impl: str):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cpu_env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=str(Path(__file__).resolve().parents[1]))
     if mode == "train":
         train()
     elif mode == "val":
         val(os.environ.get("QUAN_QCONV_IMPL", "auto"))
     else:
         if not (WORK / "weights.pkl").exists():
-            train()
+            # subprocess so the 60-epoch loop never rides the ambient axon
+            # platform (CLAUDE.md: short-lived TPU clients wedge the tunnel)
+            subprocess.run([sys.executable, __file__, "train"], env=cpu_env,
+                           check=True)
         for impl in ("auto", "int8"):
-            env = dict(os.environ, QUAN_QCONV_IMPL=impl,
-                       PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
-            subprocess.run([sys.executable, __file__, "val"], env=env, check=True)
+            subprocess.run([sys.executable, __file__, "val"],
+                           env=dict(cpu_env, QUAN_QCONV_IMPL=impl), check=True)
 
 
 if __name__ == "__main__":

@@ -195,3 +195,27 @@ def test_features_embed_and_visualization(tmp_path):
     import cv2
     g = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
     assert g is not None and g.shape == (3 * 96, 3 * 96)
+
+
+def test_features_unpacked_across_stem_modes():
+    """Captured features are the public [B,H,W,4,C] form regardless of the
+    stem/deep packing knobs (sown tensors are depth-to-spaced): same params
+    => same per-layer features."""
+    from quan_ultralytics_tpu.models.tasks import QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32))
+    mod_off = QUANYOLO(m.module.specs, m.module.save, stem_s2d=False, capture=True)
+    v = mod_off.init(jax.random.PRNGKey(0), x, train=False)
+    variants = [QUANYOLO(m.module.specs, m.module.save, capture=True),  # s2d
+                QUANYOLO(m.module.specs, m.module.save, stem_deep=1, capture=True),
+                QUANYOLO(m.module.specs, m.module.save, stem_deep=2, capture=True)]
+    _, st0 = mod_off.apply(v, x, train=False, mutable=["intermediates"])
+    ref = {k: np.asarray(t[0]) for k, t in st0["intermediates"].items()}
+    for mod in variants:
+        _, st = mod.apply(v, x, train=False, mutable=["intermediates"])
+        for k, t in st["intermediates"].items():
+            got = np.asarray(t[0])
+            assert got.shape == ref[k].shape, (k, got.shape, ref[k].shape)
+            np.testing.assert_allclose(got, ref[k], rtol=2e-3, atol=2e-3,
+                                       err_msg=k)
