@@ -620,6 +620,27 @@ def s_l0train():
                  error=repr(e)[:250])
 
 
+@section("combo")
+def s_combo():
+    # candidate winning configuration if the individual A/Bs (deep2,
+    # l0fine, u8in) each win: measure the combination so the headline
+    # default is a measured point, not a sum of deltas.
+    base = {"QUAN_QCONV_IMPL": "auto", "QUAN_FUSED_ATTN": "1",
+            "QUAN_STEM_DEEP": "2", "QUAN_STEM_L0": "fine"}
+    try:
+        ips, dt, cs = infer_pipeline_imgs(128, env=base, input_u8=True)
+        emit(section="combo", cfg="deep2+l0fine+u8 b128", img_s=round(ips, 1),
+             ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+    except Exception as e:
+        emit(section="combo", cfg="deep2+l0fine+u8 b128", error=repr(e)[:200])
+    try:
+        ips, ms, cs = _train_step_ms(24, False, base)
+        emit(section="combo", cfg="deep2+l0fine b24 train", img_s=round(ips, 1),
+             ms_step=round(ms, 1), compile_s=round(cs, 1))
+    except Exception as e:
+        emit(section="combo", cfg="deep2+l0fine b24 train", error=repr(e)[:250])
+
+
 @section("d640train")
 def s_d640train():
     # BASELINE config #4 shape: COCO detect train @640 (reference bs128).
@@ -903,7 +924,7 @@ def main():
                                    s_train2, s_trainattn, s_batch3,
                                    s_profile128, s_trainprof16, s_trainprof24,
                                    s_d640, s_d640ab, s_opt5, s_trainopt, s_l0fine, s_abf16, s_i8, s_l0train,
-                                   s_u8in, s_deep2, s_lat, s_d640train, s_segpose, s_cls]}
+                                   s_u8in, s_deep2, s_combo, s_lat, s_d640train, s_segpose, s_cls]}
     for n in names:
         t0 = time.perf_counter()
         try:
