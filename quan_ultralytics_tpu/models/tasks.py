@@ -156,14 +156,15 @@ class QUANYOLO(nn.Module):
     stem_s2d: bool = True  # phase-composite stem (ops/stem.py): identical
     # math, ~identical params, avoids lane-padded narrow stem activations —
     # the stem was 45% of forward time at 1024px without it
-    stem_deep: int = 0  # deep phase packing level (bool-compatible: True==1).
-    # 1: layers 0-3 (stem + first C3k2 + the P3 downsample conv) run
-    # entirely on the packed coarse grid (expand_w_packed), eliminating the
-    # pack/unpack layout-flip copies the two-layer stem leaves at the
-    # 256-grid (~12 ms/iter @1024 b16 profiled).
-    # 2: extend through layer 4's C3k2 (layer 5 unpacks; the saved P3 neck
-    # tap is depth-to-spaced once) — targets the residual stride-8
-    # W-minor<->C-minor flip copies.
+    stem_deep: int = 0  # deep phase packing level K (bool-compatible:
+    # True==1). K=1: layers 0-3 (stem + first C3k2 + the P3 downsample
+    # conv) run entirely on the packed coarse grid (expand_w_packed),
+    # eliminating the pack/unpack layout-flip copies the two-layer stem
+    # leaves at the 256-grid (~12 ms/iter @1024 b16 profiled). K>=2: extend
+    # through layer 2K's C3k2 (the backbone alternates Conv(3,2)/C3k2;
+    # layer 2K+1 unpacks, saved neck taps are depth-to-spaced once) —
+    # targets the residual narrow-grid W-minor<->C-minor flip copies.
+    # Clamped to what the graph structure supports.
     # Identical math and params; overrides stem_s2d when the prefix matches.
     capture: bool = False  # sow per-layer outputs into the "intermediates"
     # collection (reference nn/tasks.py:140 _predict_once visualize/embed);
@@ -185,18 +186,26 @@ class QUANYOLO(nn.Module):
                     for i in (0, 1, 3))
             and self.specs[2].module in ("C3k2", "QC3k2")
         )
-        # level 2 (QUAN_STEM_DEEP=2): extend the packed region through layer
-        # 4's C3k2 so the narrow stride-8 tensors never materialize between
-        # layers 3-5 (the residual [B,H/8,W/8,4,C] W-minor<->C-minor flip
-        # copies in the b24/b128 profiles); the saved P3 neck tap is
-        # unpacked ONCE instead. Math-identical (tests/test_stem.py).
-        deep2 = (
-            deep_ok and int(self.stem_deep) >= 2 and len(self.specs) > 5
-            and 3 not in self.save
-            and self.specs[4].module in ("C3k2", "QC3k2")
-            and self.specs[5].module == "Conv"
-            and self.specs[5].args[2:4] == (3, 2)
-        )
+        # level K >= 2 (QUAN_STEM_DEEP=K): extend the packed region through
+        # layer 2K's C3k2 — the backbone alternates Conv(3,2)/C3k2, so level
+        # K covers layers 0..2K+1 (C3k2s at 2,4,..,2K; the conv at 2K+1
+        # unpacks). Narrow stride-2^(k+1) tensors never materialize between
+        # the packed layers (the W-minor<->C-minor flip copies in the
+        # b24/b128 profiles); C3k2 outputs the neck taps (save list) are
+        # depth-to-spaced ONCE instead. Math-identical (tests/test_stem.py).
+        deep_K = 0
+        if deep_ok:
+            deep_K = 1
+            while deep_K < int(self.stem_deep):
+                i_c3, i_cv = 2 * (deep_K + 1), 2 * (deep_K + 1) + 1
+                if (len(self.specs) > i_cv
+                        and (i_c3 - 1) not in self.save
+                        and self.specs[i_c3].module in ("C3k2", "QC3k2")
+                        and self.specs[i_cv].module == "Conv"
+                        and self.specs[i_cv].args[2:4] == (3, 2)):
+                    deep_K += 1
+                else:
+                    break
         for spec in self.specs:
             inputs = [y if j == -1 else saved[j] for j in spec.f]
             name = f"model_{spec.i}"
@@ -208,12 +217,13 @@ class QUANYOLO(nn.Module):
             if m == "Conv":
                 stem_mode = None
                 packed = None
-                if deep_ok and spec.i in (0, 1, 3):
-                    packed = {0: "out", 1: "both",
-                              3: "both" if deep2 else "in"}[spec.i]
-                    if packed != "in":
-                        packed_out = "cmajor"
-                elif deep2 and spec.i == 5:
+                if deep_K and spec.i == 0:
+                    packed = "out"
+                    packed_out = "cmajor"
+                elif deep_K and spec.i % 2 == 1 and spec.i <= 2 * deep_K - 1:
+                    packed = "both"
+                    packed_out = "cmajor"
+                elif deep_K and spec.i == 2 * deep_K + 1:
                     packed = "in"
                 else:
                     # packed layout must stay strictly between layers 0 and 1
@@ -232,7 +242,7 @@ class QUANYOLO(nn.Module):
             elif m == "DWConv":
                 y = C.DWConv(*a, dtype=self.dtype, name=name)(inputs[0], train)
             elif m in ("C3k2", "QC3k2"):
-                pk = (deep_ok and spec.i == 2) or (deep2 and spec.i == 4)
+                pk = bool(deep_K) and spec.i % 2 == 0 and spec.i <= 2 * deep_K
                 if pk:
                     packed_out = "cmajor"
                 y = C3k2_cls(*a, dtype=self.dtype, packed=pk,
@@ -287,9 +297,10 @@ class QUANYOLO(nn.Module):
                 # distinct from the submodule scope name (flax forbids reuse)
                 self.sow("intermediates", f"feat_{spec.i}", fy)
             if spec.i in self.save:
-                if deep2 and spec.i == 4:
-                    # the packed form flows on to layer 5; the neck consumes
-                    # the standard layout via one depth-to-space
+                if packed_out == "cmajor":
+                    # the packed form flows on to the next backbone layer;
+                    # the neck consumes the standard layout via one
+                    # depth-to-space
                     from quan_ultralytics_tpu.ops.stem import depth_to_space_cmajor
 
                     saved[spec.i] = depth_to_space_cmajor(y)

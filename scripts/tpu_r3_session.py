@@ -688,7 +688,8 @@ def s_deep2():
     # 1x1s at 4x MXU occupancy; must measure.
     base = {"QUAN_QCONV_IMPL": "auto", "QUAN_FUSED_ATTN": "1"}
     for name, env in (("deep2", {**base, "QUAN_STEM_DEEP": "2"}),
-                      ("deep1", {**base, "QUAN_STEM_DEEP": "1"})):
+                      ("deep1", {**base, "QUAN_STEM_DEEP": "1"}),
+                      ("deep3", {**base, "QUAN_STEM_DEEP": "3"})):
         try:
             ips, dt, cs = infer_pipeline_imgs(128, env=env)
             emit(section="deep2", cfg=f"{name} b128", img_s=round(ips, 1),
@@ -696,7 +697,8 @@ def s_deep2():
         except Exception as e:
             emit(section="deep2", cfg=f"{name} b128", error=repr(e)[:200])
     for name, env in (("deep2", {**base, "QUAN_STEM_DEEP": "2"}),
-                      ("deep1", {**base, "QUAN_STEM_DEEP": "1"})):
+                      ("deep1", {**base, "QUAN_STEM_DEEP": "1"}),
+                      ("deep3", {**base, "QUAN_STEM_DEEP": "3"})):
         try:
             ips, ms, cs = _train_step_ms(24, False, env)
             emit(section="deep2", cfg=f"{name} b24 train", img_s=round(ips, 1),

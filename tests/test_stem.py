@@ -288,9 +288,14 @@ def test_stem_l0_fine_matches_prepack(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
 
 
-def test_full_model_stem_deep2_parity():
-    """stem_deep=2 (packed region through layer 4's C3k2, saved P3 tap
-    unpacked via depth_to_space_cmajor) == the plain graph, SAME params."""
+import pytest
+
+
+@pytest.mark.parametrize("level", [2, 3])
+def test_full_model_stem_deep_levels_parity(level):
+    """stem_deep=K (packed region through layer 2K's C3k2, saved neck taps
+    unpacked via depth_to_space_cmajor) == the plain graph, SAME params.
+    Level 3 exercises the packed C3k (c3k=True) blocks of layer 6."""
     import jax
     from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
 
@@ -298,7 +303,7 @@ def test_full_model_stem_deep2_parity():
     mod_off = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
                        mapping_type=m.module.mapping_type, stem_s2d=False)
     mod_d2 = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
-                      mapping_type=m.module.mapping_type, stem_deep=2)
+                      mapping_type=m.module.mapping_type, stem_deep=level)
 
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
