@@ -32,12 +32,14 @@ TARGET = 2 * A100_PROXY_IMG_S
 def _measure():
     import os
 
-    # best measured config (see CLAUDE.md round-3 A/Bs @1024 b96):
+    # best measured config (see CLAUDE.md round-3 A/Bs @1024 b128):
     #   auto conv impl (folded narrow / grouped wide), fold threshold 32,
-    #   deep phase-packed stem (layers 0-3), fused Pallas attention
-    #   (554.7 -> 585.3 -> 678.0 img/s in one session)
+    #   deep phase-packed stem level 1 (layers 0-3; levels 2/3 measured
+    #   slower: 934 / 889 / 868 img/s), layer-0 as the direct fine-grid
+    #   packed conv (968.3 vs 934.0 img/s), fused Pallas attention
     os.environ.setdefault("QUAN_QCONV_IMPL", "auto")
     os.environ.setdefault("QUAN_STEM_DEEP", "1")
+    os.environ.setdefault("QUAN_STEM_L0", "fine")
     os.environ.setdefault("QUAN_FUSED_ATTN", "1")
 
     import jax
