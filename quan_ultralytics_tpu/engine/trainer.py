@@ -203,7 +203,12 @@ class Trainer:
 
     def init_state(self, rng=None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
-        variables = self.model.init(rng, imgsz=max(self.cfg.imgsz // 8, 64))
+        # Init at a small probe size to keep tracing cheap, but the probe must
+        # be a multiple of the max stride (32): at imgsz=640 the naive //8
+        # gives 80, whose P5 upsample (3->6) cannot concat against P4 (5) —
+        # exactly the reference COCO recipe shape (args_classical.yaml:6).
+        probe = max((self.cfg.imgsz // 8 + 31) // 32 * 32, 64)
+        variables = self.model.init(rng, imgsz=probe)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.tx = build_optimizer(self.cfg, params, self.steps_per_epoch)

@@ -1,0 +1,175 @@
+"""Round-4 consolidated TPU measurement session.
+
+One long process (the tunnel degrades with process churn); every result is
+appended to scripts/r4_results.jsonl immediately. Reuses the round-3 session
+helpers (timed_fori / infer_pipeline_imgs / _train_step_ms).
+
+Usage: python scripts/tpu_r4_session.py [section ...]
+Default: health combo2 d640train segposetrain
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import tpu_r3_session as r3
+from tpu_r3_session import (_task_train_step_ms, _train_step_ms,
+                            infer_pipeline_imgs, section, timed_fori)
+
+RESULTS = os.path.join(os.path.dirname(__file__), "r4_results.jsonl")
+
+
+def emit(**kv):
+    kv["t"] = round(time.time())
+    line = json.dumps(kv)
+    print(line, flush=True)
+    with open(RESULTS, "a") as fh:
+        fh.write(line + "\n")
+
+
+r3.emit = emit  # route the shared helpers' output to r4_results.jsonl
+
+BASE = {"QUAN_QCONV_IMPL": "auto", "QUAN_STEM_DEEP": "1",
+        "QUAN_FUSED_ATTN": "1", "QUAN_STEM_L0": "fine"}
+
+
+@section("health")
+def s_health():
+    r3.s_health()
+
+
+@section("combo2")
+def s_combo2():
+    # VERDICT r4 #7: deep1+l0fine+u8 — the likely true headline (l0fine alone
+    # 968.3; the measured combo only tried deep2 which regresses). A/B u8
+    # input at the same config.
+    for name, u8 in (("deep1+l0fine+u8", True), ("deep1+l0fine+f32", False)):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(128, env=BASE, input_u8=u8)
+            emit(section="combo2", cfg=f"{name} b128", img_s=round(ips, 1),
+                 ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="combo2", cfg=f"{name} b128", error=repr(e)[:250])
+
+
+@section("d640train")
+def s_d640train():
+    # BASELINE config #4 shape (COCO detect train @640, reference bs128) —
+    # unblocked by the trainer init probe fix (round-4, engine/trainer.py).
+    for Bt, remat in ((64, False), (128, False), (128, True)):
+        try:
+            ips, ms, cs = _task_train_step_ms("yolo11n-quan.yaml", None, Bt,
+                                              640, BASE, remat=remat)
+            emit(section="d640train", cfg=f"detect b{Bt} @640 remat={remat}",
+                 img_s=round(ips, 1), ms_step=round(ms, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="d640train", cfg=f"detect b{Bt} @640 remat={remat}",
+                 error=repr(e)[:250])
+
+
+@section("segposetrain")
+def s_segposetrain():
+    # seg/pose train @640 — also unblocked by the init probe fix.
+    for yaml, extra, nc, Bt in (("yolo11n-seg-quan.yaml", "masks", 80, 64),
+                                ("yolo11n-pose-quan.yaml", "keypoints", 1, 64)):
+        try:
+            ips, ms, cs = _task_train_step_ms(yaml, extra, Bt, 640, BASE, nc=nc)
+            emit(section="segposetrain", cfg=f"{extra} train b{Bt} @640",
+                 img_s=round(ips, 1), ms_step=round(ms, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="segposetrain", cfg=f"{extra} train b{Bt} @640",
+                 error=repr(e)[:250])
+
+
+@section("trainprof24f")
+def s_trainprof24f():
+    # b24 no-remat train profile under the FULL winning config (incl.
+    # l0=fine, which r3's trainprof24 predates): name the layout-flip copies
+    # behind the 46.3 ms data-formatting bucket (VERDICT r4 #5).
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    saved = {k: os.environ.get(k) for k in BASE}
+    os.environ.update(BASE)
+    try:
+        from quan_ultralytics_tpu.engine.trainer import TrainConfig, Trainer
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+
+        Bt = 24
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                         dtype=jnp.bfloat16, remat=False)
+        cfg = TrainConfig(epochs=10, batch=Bt, imgsz=1024, nbs=Bt)
+        trainer = Trainer(model, cfg, steps_per_epoch=100)
+        state = trainer.init_state()
+        step_fn = trainer.make_train_step()
+        M = 64
+        batch = {
+            "img": jax.jit(lambda k: jax.random.uniform(
+                k, (Bt, 1024, 1024, 3), jnp.float32))(jax.random.PRNGKey(2)),
+            "bboxes": jnp.asarray(np.random.rand(Bt, M, 5).astype(np.float32) * 0.3 + 0.1),
+            "cls": jnp.zeros((Bt, M), jnp.int32),
+            "mask": jnp.ones((Bt, M), bool),
+        }
+        state, loss, aux = step_fn(state, batch)
+        float(loss)  # compile + warm
+        jax.profiler.start_trace("/tmp/qtrace_trainprof24f")
+        for _ in range(3):
+            state, loss, aux = step_fn(state, batch)
+        float(loss)
+        jax.profiler.stop_trace()
+        from tpu_profile_copies import parse_trace
+        by_cat, by_op = parse_trace("/tmp/qtrace_trainprof24f")
+        cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
+        emit(section="trainprof24f",
+             per_iter_ms_by_category={k: round(v / 3, 2) for k, v in cats})
+        for name, (ms, n, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:24]:
+            emit(section="trainprof24f", op=name, ms_iter=round(ms / 3, 3),
+                 count=n, long_name=long_name[:300])
+    finally:
+        for k, vv in saved.items():
+            if vv is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = vv
+
+
+def main():
+    import subprocess
+
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(RESULTS)).stdout.strip()
+        dirty = bool(subprocess.run(["git", "diff", "--quiet"],
+                                    cwd=os.path.dirname(RESULTS)).returncode)
+        emit(session_rev=rev + ("+dirty" if dirty else ""))
+    except Exception:
+        pass
+    secs = {f._section: f for f in [s_health, s_combo2, s_d640train,
+                                    s_segposetrain, s_trainprof24f]}
+    names = sys.argv[1:] or ["health", "combo2", "d640train", "segposetrain",
+                             "trainprof24f"]
+    for n in names:
+        t0 = time.perf_counter()
+        try:
+            if n in secs:
+                secs[n]()
+            else:
+                # fall through to any round-3 section by name
+                fns = {f._section: f for f in vars(r3).values()
+                       if callable(f) and hasattr(f, "_section")}
+                fns[n]()
+        except Exception as e:
+            emit(section=n, error=repr(e)[:300])
+        emit(section=n, done_s=round(time.perf_counter() - t0, 1))
+
+
+if __name__ == "__main__":
+    main()

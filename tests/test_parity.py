@@ -446,3 +446,119 @@ def test_full_graph_parity_per_layer(parity_pair):
                                err_msg="class scores")
     np.testing.assert_allclose(pred[..., -1], ref_pred[..., -1], rtol=5e-3, atol=1e-4,
                                err_msg="angles")
+
+
+@pytest.mark.slow
+def test_training_dynamics_parity(parity_pair):
+    """Training-dynamics parity (VERDICT r4 #3): N momentum-SGD steps on
+    identical synthetic data, same ported init, matched hyper-params
+    (reference trainer defaults: SGD momentum=0.937 nesterov, constant lr,
+    no warmup/EMA — those are unit-tested separately). Asserts the loss
+    curves agree within fp32-drift tolerance and reports the final weight
+    divergence.
+
+    The env has no DOTA/COCO data (zero egress), so matched dynamics on the
+    shared tiny set is the strongest available proxy for the accuracy target
+    (BASELINE.json: DOTA mAP50 within 0.3 of 76.2, reference README.md:34).
+
+    N = $QUAN_PARITY_STEPS (default 120; the committed PARITY_TRAIN.md
+    artifact was generated with 300). Set QUAN_PARITY_ARTIFACT=1 to write
+    PARITY_TRAIN.json at the repo root.
+
+    Torch side stays in eval-mode BN like the 3-step test: both frameworks'
+    TRAIN-mode batch stats are an implementation detail of the normalizer
+    (reassociation order), while the loss/grad path under test is identical —
+    and the reference's own val runs through eval BN.
+    """
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from quan_ultralytics_tpu.losses.detect import obb_loss
+
+    N = int(os.environ.get("QUAN_PARITY_STEPS", "120"))
+    tm0, jm, ported = parity_pair
+    tm = type(tm0)("yolo11n-obb-quan.yaml", nc=15, verbose=False)
+    tm.load_state_dict(tm0.state_dict())
+    tm.eval()
+    crit = _torch_criterion(tm)
+    lr, mu = 0.005, 0.937
+    opt = torch.optim.SGD([p for p in tm.parameters() if p.requires_grad],
+                          lr=lr, momentum=mu, nesterov=True)
+
+    # 8 distinct fixed batches, cycled — "identical batches via the existing
+    # port" (the loader side is exercised by e2e tests; here the data must be
+    # bit-identical across frameworks, so both consume the same arrays)
+    batches = [_obb_fixture_batches(seed=100 + i) for i in range(8)]
+    jbatches = [(jnp.asarray(img), {k: jnp.asarray(v) for k, v in jb.items()})
+                for img, _, jb in batches]
+    tbatches = [(torch.from_numpy(img.transpose(0, 3, 1, 2)), tb)
+                for img, tb, _ in batches]
+
+    # torch.optim.SGD(nesterov): buf = mu*buf + g; step = g + mu*buf —
+    # exactly optax.sgd(momentum=mu, nesterov=True)'s trace update
+    tx = optax.sgd(lr, momentum=mu, nesterov=True)
+    params = ported["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, jb):
+        def loss_fn(p):
+            out = jm.module.apply({**ported, "params": p}, x, train=False)
+            total, _ = obb_loss(out, jb, jm.strides, nc=jm.nc)
+            return total
+
+        total, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return total, optax.apply_updates(params, updates), opt_state
+
+    curve_t, curve_j = [], []
+    for it in range(N):
+        xt, tb = tbatches[it % len(batches)]
+        xj, jb = jbatches[it % len(batches)]
+        opt.zero_grad(set_to_none=True)
+        loss_t, _ = crit(tm(xt), tb)
+        loss_t.backward()
+        opt.step()
+        total_j, params, opt_state = step(params, opt_state, xj, jb)
+        curve_t.append(float(loss_t))
+        curve_j.append(float(total_j))
+
+    ct, cj = np.asarray(curve_t), np.asarray(curve_j)
+    rel = np.abs(cj - ct) / ct
+    # fp32 drift compounds step-over-step; gate on a growing envelope:
+    # exact early, percent-level late
+    grow = 2e-3 + 0.03 * np.arange(N) / max(N - 1, 1)
+    bad = np.where(rel > grow)[0]
+    assert bad.size == 0, (
+        f"loss curves diverged at steps {bad[:5]}: "
+        f"rel={rel[bad[:5]]}, allowed={grow[bad[:5]]}")
+    # both actually trained
+    assert cj[-5:].mean() < 0.7 * cj[:5].mean(), "loss did not decrease"
+
+    # final-weights divergence (reported in the artifact; the curve is the
+    # gate — per-step f32 differences amplify through the assigner's argmax
+    # selections, so weights drift faster than losses)
+    final_ref = port_torch_weights_for(tm, ported)
+    wrel = _grad_rel_err(final_ref, params)
+
+    if os.environ.get("QUAN_PARITY_ARTIFACT") == "1":
+        out = {"steps": N, "lr": lr, "momentum": mu, "batches": len(batches),
+               "loss_torch": [round(v, 5) for v in curve_t],
+               "loss_jax": [round(v, 5) for v in curve_j],
+               "max_rel_err": float(rel.max()),
+               "final_rel_err": float(rel[-1]),
+               "final_weight_rel_l2": wrel}
+        with open(Path(__file__).resolve().parents[1] / "PARITY_TRAIN.json", "w") as fh:
+            json.dump(out, fh)
+
+
+def port_torch_weights_for(tm, variables):
+    """Port the torch model's CURRENT weights into our params pytree."""
+    from quan_ultralytics_tpu.utils.torch_port import port_state_dict
+
+    sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+    return port_state_dict(sd, variables)["params"]

@@ -52,6 +52,38 @@ def _tiny_setup():
     return trainer, state, batch
 
 
+@pytest.mark.parametrize("yaml_name,nc,extra", [
+    ("yolo11n-obb-quan.yaml", 3, None),
+    ("yolo11n-seg-quan.yaml", 3, "masks"),
+    ("yolo11n-pose-quan.yaml", 1, "keypoints"),
+])
+def test_init_state_imgsz_640(yaml_name, nc, extra):
+    """Regression: init_state crashed for any imgsz where imgsz//8 is not a
+    multiple of 32 (640 -> probe 80 -> FPN upsample 3->6 vs P4=5 concat
+    TypeError). 640 is the reference COCO recipe shape (args_classical.yaml:6)
+    and blocked all detect/seg/pose training at 640."""
+    model = DetectionModel.from_yaml(yaml_name, nc=nc)
+    cfg = TrainConfig(epochs=1, batch=2, imgsz=640, nbs=2, warmup_epochs=0.0)
+    trainer = Trainer(model, cfg, steps_per_epoch=1)
+    state = trainer.init_state()  # crashed before the probe-size fix
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(state.params))
+    if model.task != "obb":
+        return  # init is the regression; one step compile is enough coverage
+    # the state trains at any multiple-of-32 batch shape (shapes come from
+    # the batch, not cfg.imgsz) — run one cheap 64px step to prove it
+    M = 4
+    batch = {
+        "img": jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)),
+        "bboxes": jnp.asarray(np.tile(np.array([[[0.5, 0.5, 0.3, 0.2, 0.1]]], np.float32), (2, M, 1))),
+        "cls": jnp.zeros((2, M), jnp.int32),
+        "mask": jnp.ones((2, M), bool),
+    }
+    step = trainer.make_train_step()
+    state, loss, _ = step(state, batch)
+    assert np.isfinite(float(loss))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer, state, batch = _tiny_setup()
     step = trainer.make_train_step()
