@@ -55,12 +55,13 @@ def _measure():
     # at 128: b144/160/192 = 526/561/651 img/s (HBM spill cliff); with the
     # round-3 micro-opts + l0=fine the b128 headline measured 968.3 img/s
     iters = int(os.environ.get("QUAN_BENCH_ITERS", "10"))
-    # QUAN_BENCH_INPUT=u8: feed device-resident uint8 frames and normalize
-    # in-pipeline (predictor semantics, matching the reference's GPU-side
-    # /255 of uint8 batches — predictor.py:82). The f32 [128,1024,1024,3]
-    # input is 1.5 GB and the normalize+RGB-mapping chain reads it 2-3x;
-    # u8 cuts that HBM traffic 4x. A/B'd by scripts/tpu_r3_session.py u8in.
-    input_u8 = os.environ.get("QUAN_BENCH_INPUT", "f32") == "u8"
+    # uint8 device-resident frames, normalized in-pipeline (predictor
+    # semantics, matching the reference's GPU-side /255 of uint8 batches —
+    # predictor.py:82): the f32 [128,1024,1024,3] input is 1.5 GB and the
+    # normalize+RGB-mapping chain reads it 2-3x; u8 cuts that traffic 4x.
+    # Round-4 A/B at the winning config: u8 985.1 vs f32 970.4 img/s
+    # (scripts/r4_results.jsonl combo2) — u8 is the default.
+    input_u8 = os.environ.get("QUAN_BENCH_INPUT", "u8") == "u8"
     model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgsz=64)
     # generate the input ON DEVICE: a [96,1024,1024,3] f32 host transfer is

@@ -206,6 +206,42 @@ def export_saved_model(model: DetectionModel, variables, imgsz: int = 640,
     return str(path)
 
 
+def export_onnx(model: DetectionModel, variables, imgsz: int = 640,
+                batch: int = 1, path: str = "model.onnx", names=None,
+                opset: int = 17) -> str:
+    """Export forward+decode as ONNX via SavedModel -> tf2onnx (reference
+    exporter.py export_onnx; format='onnx' is the reference's main
+    interchange format, exporter.py:110-131).
+
+    Best-effort: `tf2onnx` is not in the baked image (zero egress), so this
+    raises a clear RuntimeError naming the missing dependency when absent —
+    the SavedModel artifact is the documented interchange point (PARITY.md
+    §2.7). Covered by tests/test_export_roundtrip.py either way (roundtrip
+    when tf2onnx importable, error message when not)."""
+    try:
+        import tf2onnx  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "ONNX export needs the optional `tf2onnx` package (absent from "
+            "this zero-egress image). Export format='saved_model' instead "
+            "and convert offline: python -m tf2onnx.convert --saved-model "
+            "<dir> --output model.onnx") from e
+    import tempfile
+
+    import tf2onnx.convert
+
+    with tempfile.TemporaryDirectory() as td:
+        sm = export_saved_model(model, variables, imgsz=imgsz, batch=batch,
+                                path=str(Path(td) / "sm"), names=names)
+        tf2onnx.convert.from_saved_model(sm, output_path=str(path),
+                                         opset=opset)
+    meta = {"task": model.task, "nc": model.nc, "names": names,
+            "imgsz": imgsz, "batch": batch,
+            "strides": tuple(int(s) for s in model.strides)}
+    Path(str(path) + ".quan_meta.pkl").write_bytes(pickle.dumps(meta))
+    return str(path)
+
+
 class SavedModelBackend:
     """Run an exported SavedModel through TF's runtime (reference
     nn/autobackend.py saved_model branch). Not jax-traceable — the

@@ -224,8 +224,14 @@ class YOLO:
             return export_saved_model(self.model, variables, imgsz=imgsz,
                                       batch=batch, names=self.names,
                                       path=path or "model_saved_model")
+        if format == "onnx":
+            from quan_ultralytics_tpu.engine.exporter import export_onnx
+
+            return export_onnx(self.model, variables, imgsz=imgsz,
+                               batch=batch, names=self.names,
+                               path=path or "model.onnx")
         raise ValueError(f"unknown export format {format!r} "
-                         f"(exported|stablehlo|params|tflite|saved_model)")
+                         f"(exported|stablehlo|params|tflite|saved_model|onnx)")
 
     def tune(self, data: Union[str, Dict], iterations: int = 10, epochs: int = 5,
              imgsz: int = 640, batch: int = 16, save_dir: str = "runs/tune",

@@ -13,15 +13,21 @@ from __future__ import annotations
 from typing import Dict, Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from quan_ultralytics_tpu.losses.detect import LossHyp, detect_terms, _bce_logits
 from quan_ultralytics_tpu.models.head import decode_kpts, flatten_levels
 
-# COCO keypoint OKS sigmas (reference utils/metrics.py OKS_SIGMA)
-OKS_SIGMA = jnp.array(
+# COCO keypoint OKS sigmas (reference utils/metrics.py OKS_SIGMA).
+# NUMPY on purpose: this module is imported lazily inside trainer.loss_fn,
+# i.e. under an active jit trace — a module-level jnp expression would be
+# staged into THAT trace and the cached global becomes an escaped tracer
+# (seg-train then pose-train in one process: UnexpectedTracerError,
+# scripts/r4_results.jsonl segposetrain).
+OKS_SIGMA = np.array(
     [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,
-     1.07, 1.07, 0.87, 0.87, 0.89, 0.89], jnp.float32) / 10.0
+     1.07, 1.07, 0.87, 0.87, 0.89, 0.89], np.float32) / 10.0
 
 
 def _topk_fg(ctx, assign, K: int):
@@ -132,7 +138,7 @@ def pose_loss(
     tb = jnp.take_along_axis(assign.target_bboxes, sel_idx[..., None], axis=1)
     area = jnp.maximum((tb[..., 2] - tb[..., 0]) * (tb[..., 3] - tb[..., 1]), 1.0)
 
-    sigmas = OKS_SIGMA if nk == 17 else jnp.full((nk,), 1.0 / nk, jnp.float32)
+    sigmas = jnp.asarray(OKS_SIGMA) if nk == 17 else jnp.full((nk,), 1.0 / nk, jnp.float32)
     d2 = ((sel_k[..., :2] - g_xy) ** 2).sum(-1)  # [B, K, nk]
     e = d2 / (2.0 * (2.0 * sigmas[None, None, :]) ** 2 * (area[..., None] + 1e-9))
     kpt_loss_factor = nk / jnp.maximum(kpt_mask.sum(-1, keepdims=True), 1.0)

@@ -102,6 +102,22 @@ class QConv2D(nn.Module):
     # flips of the two-layer stem path never materialize. 'out' on the RGB
     # first layer consumes an r=4 packing of the input. Params UNCHANGED.
 
+    def _int8_act_absmax(self, x):
+        """Resolve the int8 activation scale: running-max calibration when
+        the 'quant' collection is mutable (ops/quant.calibrate_int8), the
+        stored static scale when calibrated, dynamic per-call otherwise.
+        Never created at init so uncalibrated checkpoints stay unchanged."""
+        if self.is_initializing():
+            return None
+        if self.is_mutable_collection("quant"):
+            v = self.variable("quant", "act_absmax",
+                              lambda: jnp.zeros((), jnp.float32))
+            v.value = jnp.maximum(v.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            return None  # calibration passes still run dynamic
+        if self.has_variable("quant", "act_absmax"):
+            return self.get_variable("quant", "act_absmax")
+        return None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_weights: bool = False):
         if return_weights:
@@ -211,6 +227,8 @@ class QConv2D(nn.Module):
                 x.astype(dtype), w, b,
                 stride=self.s, padding=pad, ri=ri, ro=ro,
                 impl=packed_impl,
+                act_absmax=(self._int8_act_absmax(x)
+                            if packed_impl == "int8" else None),
             )
         if self.stem_mode == "phase_out":
             assert (kh, kw) == (3, 3) and self.s in (2, (2, 2))
@@ -239,7 +257,8 @@ class QConv2D(nn.Module):
 
             dk = fold_dense_kernel(w, jnp.asarray(MIX_MATRIX))
             return qconv2d_int8(x.astype(dtype), dk, b, stride=self.s,
-                                padding=pad, dilation=self.d)
+                                padding=pad, dilation=self.d,
+                                act_absmax=self._int8_act_absmax(x))
         if impl == "folded" and self.g == 1:
             from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
             from quan_ultralytics_tpu.ops.qconv import fold_dense_kernel, qconv2d_folded

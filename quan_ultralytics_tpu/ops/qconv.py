@@ -229,6 +229,7 @@ def qconv2d_packed(
     ri: int = 2,
     ro: int = 2,
     impl: str = "folded",
+    act_absmax: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Separable qconv on space-to-depth phase-packed activations.
 
@@ -284,7 +285,9 @@ def qconv2d_packed(
         # expanded kernel is mostly structural zeros, which symmetric
         # per-out-channel absmax quantization represents exactly
         eps = 1e-8
-        sx = (jnp.max(jnp.abs(x_flat.astype(jnp.float32))) / 127.0) + eps
+        amax = (jnp.max(jnp.abs(x_flat.astype(jnp.float32)))
+                if act_absmax is None else act_absmax.astype(jnp.float32))
+        sx = amax / 127.0 + eps
         xq = jnp.clip(jnp.round(x_flat.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
         kf = kernel.astype(jnp.float32)
@@ -369,20 +372,24 @@ def qconv2d_int8(
     padding: IntOr2 = 0,
     dilation: IntOr2 = 1,
     eps: float = 1e-8,
+    act_absmax: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Opt-in int8 qconv: the folded dense kernel quantized per output
-    channel, activations quantized per tensor (dynamic), s8 x s8 -> s32 on
-    the MXU, dequantized in the epilogue.
+    channel, activations quantized per tensor, s8 x s8 -> s32 on the MXU,
+    dequantized in the epilogue.
 
     v5e's int8 MXU peak is 2x its bf16 peak; the conv bucket is the largest
     remaining slice of the inference profile (~41 ms of 140 at b128@1024),
     so this is the serving-throughput lever. The quantization recipe is the
     standard PTQ one (symmetric absmax; per-channel weights so narrow
-    channels don't share scale with wide ones). No dataset-calibrated
-    activation ranges exist in this environment, hence dynamic per-tensor
-    activation scales — one extra fused |x|-max reduction per layer.
-    Accuracy is NOT validated against DOTA/COCO here; ship as the
-    QUAN_QCONV_IMPL=int8 opt-in, never the default.
+    channels don't share scale with wide ones).
+
+    ``act_absmax``: calibrated |x| max (scalar) — the static-scale path.
+    Without it the scale is computed dynamically per call, which costs an
+    extra full read of x (the reduction can't fuse with the quantize pass);
+    measured 767.7 vs bf16's 917.1 img/s @1024 b128, i.e. dynamic quant
+    eats the whole s8 MXU win. Calibrate with ops/quant.calibrate_int8.
+    Ship as the QUAN_QCONV_IMPL=int8 opt-in, never the default.
     """
     B, H, W, _, cin = x.shape
     kh, kw, cin4, cout4 = dense_kernel.shape
@@ -391,7 +398,9 @@ def qconv2d_int8(
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
     xf = x.reshape(B, H, W, 4 * cin)
-    sx = (jnp.max(jnp.abs(xf.astype(jnp.float32))) / 127.0) + eps
+    amax = (jnp.max(jnp.abs(xf.astype(jnp.float32))) if act_absmax is None
+            else act_absmax.astype(jnp.float32))
+    sx = amax / 127.0 + eps
     xq = jnp.clip(jnp.round(xf.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     kf = dense_kernel.astype(jnp.float32)
     swt = (jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0) + eps  # [4*cout]

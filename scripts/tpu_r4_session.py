@@ -87,6 +87,111 @@ def s_segposetrain():
                  error=repr(e)[:250])
 
 
+@section("trainbest")
+def s_trainbest():
+    # train batch scan at the round-4 defaults (deep1+l0fine+fusedattn +
+    # bf16 assigner, now trainer-default). r3 references: b24 135.8-139.9.
+    for Bt in (24, 16, 32):
+        try:
+            ips, ms, cs = _train_step_ms(Bt, False, BASE)
+            emit(section="trainbest", cfg=f"r4-default b{Bt}",
+                 img_s=round(ips, 1), ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="trainbest", cfg=f"r4-default b{Bt}", error=repr(e)[:250])
+
+
+@section("trainfold")
+def s_trainfold():
+    # trainprof24f: the data-formatting bucket is many ~1.2 ms layout flips
+    # at the 128-grid around C=24/32 1x1 convs — suspicion: folded/grouped
+    # boundary (fold_max=32 puts the boundary exactly there). A/B the
+    # threshold on the TRAIN step (inference A/B said 32 > 16 > 64).
+    for fm in ("16", "64", "128"):
+        try:
+            ips, ms, cs = _train_step_ms(24, False,
+                                         {**BASE, "QUAN_QCONV_FOLD_MAX": fm})
+            emit(section="trainfold", cfg=f"fold_max={fm} b24",
+                 img_s=round(ips, 1), ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="trainfold", cfg=f"fold_max={fm} b24",
+                 error=repr(e)[:250])
+
+
+@section("d640f")
+def s_d640f():
+    # COCO detect @640 under the full r4 config (l0fine unmeasured at 640;
+    # the fused-attn gate auto-falls-back to XLA attention at N=400).
+    for b in (128, 64):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                b, imgsz=640, nc=80, yaml="yolo11n-quan.yaml", rotated=False,
+                env=BASE, input_u8=True)
+            emit(section="d640f", cfg=f"r4-default+u8 b{b} @640",
+                 img_s=round(ips, 1), ms_iter=round(dt * 1e3, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="d640f", cfg=f"r4-default+u8 b{b} @640",
+                 error=repr(e)[:200])
+
+
+@section("i8c")
+def s_i8c():
+    # VERDICT r4 #6: static calibrated activation scales (ops/quant.py) vs
+    # the dynamic-scale int8 (767.7 r3) vs bf16 auto (917.1 r3) at the
+    # b128 headline config. Calibration happens once on 2 device batches.
+    import jax
+    import jax.numpy as jnp
+
+    env = dict(BASE)
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        from quan_ultralytics_tpu.models.tasks import DetectionModel
+        from quan_ultralytics_tpu.ops.boxes import non_max_suppression
+        from quan_ultralytics_tpu.ops.quant import calibrate_int8
+
+        model = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=15,
+                                         dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), imgsz=64)
+        # calibrate on-device batches (small, 2x b8) — collection transfers
+        # back are scalars
+        cal = [jax.jit(lambda k: jax.random.uniform(
+            k, (8, 1024, 1024, 3), jnp.float32))(jax.random.PRNGKey(i))
+            for i in (3, 4)]
+        t0 = time.perf_counter()
+        vq = calibrate_int8(model, variables, cal)
+        emit(section="i8c", calib_s=round(time.perf_counter() - t0, 1),
+             n_scales=len(jax.tree_util.tree_leaves(vq["quant"])))
+
+        os.environ["QUAN_QCONV_IMPL"] = "int8"
+        shape = (128, 1024, 1024, 3)
+        img = jax.jit(lambda k: jax.random.uniform(k, shape, jnp.float32))(
+            jax.random.PRNGKey(1))
+        jax.block_until_ready(img)
+
+        def one(v, img, acc):
+            x = img + acc * 1e-12
+            out = model.module.apply(v, x, train=False)
+            pred = model.decode(out)
+            det, ok = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                          max_det=300, nc=15, rotated=True)
+            return det.sum().astype(jnp.float32)
+
+        for name, v in (("int8-static", vq), ("int8-dynamic", variables)):
+            try:
+                dt, cs = timed_fori(one, args=(v, img), iters=10)
+                emit(section="i8c", cfg=f"{name} b128", img_s=round(128 / dt, 1),
+                     ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+            except Exception as e:
+                emit(section="i8c", cfg=f"{name} b128", error=repr(e)[:250])
+    finally:
+        for k, vv in saved.items():
+            if vv is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = vv
+
+
 @section("trainprof24f")
 def s_trainprof24f():
     # b24 no-remat train profile under the FULL winning config (incl.
@@ -153,7 +258,8 @@ def main():
     except Exception:
         pass
     secs = {f._section: f for f in [s_health, s_combo2, s_d640train,
-                                    s_segposetrain, s_trainprof24f]}
+                                    s_segposetrain, s_trainprof24f, s_i8c,
+                                    s_trainbest, s_trainfold, s_d640f]}
     names = sys.argv[1:] or ["health", "combo2", "d640train", "segposetrain",
                              "trainprof24f"]
     for n in names:

@@ -169,3 +169,32 @@ def test_yolo_predict_from_tflite_and_saved_model(exported_obb, tmp_path):
         res = y.predict(img, conf=0.0)
         assert len(res) == 1 and res[0].task == "obb"
         assert res[0].boxes.shape[1] == 7  # xywhr + conf + cls
+
+
+def test_onnx_export_roundtrip_or_clear_error(exported_obb, tmp_path):
+    """format=onnx (reference's main interchange format, exporter.py:110-131):
+    full roundtrip when tf2onnx is importable; otherwise a RuntimeError that
+    names the missing dependency and the offline conversion path (documented
+    skip, PARITY.md §2.7)."""
+    pytest.importorskip("tensorflow")
+    m, _ = exported_obb
+    try:
+        import tf2onnx  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises(RuntimeError, match="tf2onnx"):
+            m.export(format="onnx", imgsz=64, batch=1,
+                     path=str(tmp_path / "model.onnx"))
+        return
+    import onnxruntime as ort
+
+    path = m.export(format="onnx", imgsz=64, batch=1,
+                    path=str(tmp_path / "model.onnx"))
+    img = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    sess = ort.InferenceSession(path)
+    got = sess.run(None, {sess.get_inputs()[0].name: img})[0]
+    live = np.asarray(m.model.decode(
+        m.model.module.apply(m.variables, jnp.asarray(img), train=False)))
+    np.testing.assert_allclose(got, live, rtol=5e-3, atol=5e-3)

@@ -270,3 +270,45 @@ def test_model_forward_int8_with_deep_stem(monkeypatch):
     assert np.isfinite(got).all()
     c = np.corrcoef(got[..., :5].ravel(), ref[..., :5].ravel())[0, 1]
     assert c > 0.99, f"int8+deep-stem graph decorrelated: r={c}"
+
+
+def test_int8_static_scale_matches_dynamic_kernel():
+    """qconv2d_int8 with act_absmax == the batch's true absmax is
+    BIT-identical to the dynamic path (same scale, same quantization)."""
+    from quan_ultralytics_tpu.ops.mixing import MIX_MATRIX
+    from quan_ultralytics_tpu.ops.qconv import fold_dense_kernel, qconv2d_int8
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 4, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 3, 3, 8, 12)).astype(np.float32) * 0.1)
+    dk = fold_dense_kernel(w, jnp.asarray(MIX_MATRIX))
+    dyn = np.asarray(qconv2d_int8(x, dk, stride=1, padding=1))
+    amax = jnp.max(jnp.abs(x))
+    sta = np.asarray(qconv2d_int8(x, dk, stride=1, padding=1, act_absmax=amax))
+    np.testing.assert_array_equal(dyn, sta)
+
+
+def test_int8_calibration_static_serving(monkeypatch):
+    """calibrate_int8 collects per-conv absmax into a 'quant' collection;
+    serving with it uses STATIC scales (robust to a lower-range batch) and
+    stays within PTQ tolerance of the f32 graph."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel
+    from quan_ultralytics_tpu.ops.quant import calibrate_int8
+
+    monkeypatch.setenv("QUAN_STEM_DEEP", "1")  # cover the packed path too
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    rng = np.random.default_rng(12)
+    cal = [rng.random((1, 64, 64, 3), np.float32) for _ in range(2)]
+    vq = calibrate_int8(m, v, cal)
+    leaves = jax.tree_util.tree_leaves(vq["quant"])
+    assert len(leaves) > 10 and all(float(l) > 0 for l in leaves)
+
+    x = jnp.asarray(0.5 * rng.random((1, 64, 64, 3), np.float32))
+    ref = np.asarray(m.decode(m.module.apply(v, x, train=False)))  # f32 graph
+    monkeypatch.setenv("QUAN_QCONV_IMPL", "int8")
+    got = np.asarray(m.decode(m.module.apply(vq, x, train=False)))
+    assert np.isfinite(got).all()
+    c = np.corrcoef(got[..., :5].ravel(), ref[..., :5].ravel())[0, 1]
+    assert c > 0.98, f"calibrated int8 graph decorrelated: r={c}"

@@ -368,3 +368,27 @@ def test_pose_loss_decreases_when_kpts_match(pose_model):
     e_good = d2_good / (2 * (2 * OKS_SIGMA) ** 2 * (area[..., None] + 1e-9))
     e_bad = d2_bad / (2 * (2 * OKS_SIGMA) ** 2 * (area[..., None] + 1e-9))
     assert float((1 - jnp.exp(-e_good)).sum()) < float((1 - jnp.exp(-e_bad)).sum())
+
+
+def test_oks_sigma_import_under_trace_no_leak():
+    """Regression (r4 segposetrain): trainer.loss_fn imports this module
+    LAZILY inside a jit trace; a module-level jnp constant built then is
+    staged into that trace and the cached global escapes as a tracer — the
+    next (pose) trace dies with UnexpectedTracerError. OKS_SIGMA must be
+    numpy at module level."""
+    import sys
+
+    for m in [m for m in list(sys.modules) if m.endswith("losses.segpose")]:
+        del sys.modules[m]
+
+    @jax.jit
+    def f(x):
+        from quan_ultralytics_tpu.losses import segpose  # import under trace
+        return x * jnp.asarray(segpose.OKS_SIGMA).sum()
+
+    float(f(jnp.ones(())))
+    from quan_ultralytics_tpu.losses import segpose
+    assert isinstance(segpose.OKS_SIGMA, np.ndarray)
+    # usable in a fresh trace (raised UnexpectedTracerError before the fix)
+    out = jax.jit(lambda: jnp.asarray(segpose.OKS_SIGMA) * 2.0)()
+    assert np.isfinite(np.asarray(out)).all()
