@@ -231,12 +231,20 @@ class Trainer:
             # result is bit-identical to the old host-side f32/255 batches
             img = img.astype(jnp.float32) / 255.0
         img = img.astype(dtype)
-        out, updates = self.model.module.apply(
-            {"params": params, "batch_stats": batch_stats},
-            img,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        from quan_ultralytics_tpu.models.conv import train_graph
+
+        with train_graph():
+            # scope conv-impl TRAIN defaults (fold threshold 128: the
+            # backward's layout flips at folded/grouped boundaries cost more
+            # than dense FLOPs — 156.4 vs 140.5 img/s b24@1024, r4 trainfold)
+            # to this trace; validator/predictor traces keep inference
+            # defaults (fold 32)
+            out, updates = self.model.module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img,
+                train=True,
+                mutable=["batch_stats"],
+            )
         if self.model.task == "obb":
             total, aux = obb_loss(out, batch, self.model.strides, self.model.nc, hyp=self.loss_hyp)
         elif self.model.task == "segment":

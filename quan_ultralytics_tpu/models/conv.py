@@ -11,6 +11,7 @@ Activation layout is BHWQC ``[B, H, W, 4, C]`` (see package docstring).
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Any, Optional, Tuple, Union
 
@@ -70,6 +71,24 @@ def qconv_bias_uniform(mapping_type: str = "poincare"):
     return init
 
 
+# Trace-scoped "this is a training graph" marker: trainer.loss_fn runs under
+# jax trace, so flipping this around the model apply scopes conv-impl
+# defaults (fold threshold) to the TRAIN graph only — validator/predictor
+# traces see the inference defaults. A list so the context manager mutates
+# in place (no `global` at call sites).
+_TRAIN_GRAPH = [False]
+
+
+@contextlib.contextmanager
+def train_graph():
+    """Mark the enclosed (traced) model apply as a training graph."""
+    _TRAIN_GRAPH[0] = True
+    try:
+        yield
+    finally:
+        _TRAIN_GRAPH[0] = False
+
+
 class QConv2D(nn.Module):
     """Separable quaternion 2D convolution (reference conv.py:70-499).
 
@@ -90,7 +109,9 @@ class QConv2D(nn.Module):
     impl: Optional[str] = None  # grouped | folded | auto — MXU mapping choice:
     # 'grouped' = one fgc=4g conv (1/4 the FLOPs of dense); 'folded' = mixing
     # folded into a dense kernel (4x FLOPs but full 128-lane occupancy —
-    # wins on narrow layers); 'auto' = folded when C_out/4 < 32. Default
+    # wins on narrow layers); 'auto' = folded when C_out/4 < fold threshold
+    # (32 for inference traces, 128 — i.e. everything — inside
+    # `train_graph()`; $QUAN_QCONV_FOLD_MAX overrides both). Default impl
     # comes from $QUAN_QCONV_IMPL (benchmark knob), else 'grouped'.
     stem_mode: Optional[str] = None  # phase_out | phase_in — phase-composite
     # stem convs (ops/stem.py): identical math with space-to-depth-packed
@@ -245,8 +266,15 @@ class QConv2D(nn.Module):
         impl = self.impl or os.environ.get("QUAN_QCONV_IMPL", "grouped")
         if impl == "auto":
             # fold (dense-kernel) narrow layers: 4x essential FLOPs but full
-            # 128-lane MXU occupancy; threshold tunable for on-chip sweeps
-            fold_max = int(os.environ.get("QUAN_QCONV_FOLD_MAX", "32"))
+            # 128-lane MXU occupancy; threshold tunable for on-chip sweeps.
+            # The best threshold is MODE-dependent (r4 trainfold A/B): the
+            # backward's layout flips at folded/grouped boundaries cost more
+            # than dense FLOPs, so training folds everything (fold_max=128:
+            # 156.4 vs 140.5 img/s b24@1024) while inference keeps 32
+            # (32 > 64 > 16, r3 fold A/B). Trainer scopes the train default
+            # via `train_graph()` during its loss trace.
+            fold_max = int(os.environ.get(
+                "QUAN_QCONV_FOLD_MAX", "128" if _TRAIN_GRAPH[0] else "32"))
             impl = "folded" if (cout < fold_max and self.g == 1) else "grouped"
         if impl == "int8" and self.g == 1:
             # opt-in PTQ serving path (see ops/qconv.py qconv2d_int8):

@@ -312,3 +312,26 @@ def test_int8_calibration_static_serving(monkeypatch):
     assert np.isfinite(got).all()
     c = np.corrcoef(got[..., :5].ravel(), ref[..., :5].ravel())[0, 1]
     assert c > 0.98, f"calibrated int8 graph decorrelated: r={c}"
+
+
+def test_train_graph_fold_threshold_scoping():
+    """The auto impl's fold threshold is mode-dependent (r4 trainfold A/B:
+    train folds everything, 156.4 vs 140.5 img/s b24; inference keeps 32).
+    trainer.loss_fn wraps its apply in `train_graph()`; the choice is
+    observable as the conv's feature_group_count. Math is identical."""
+    import jax
+    from quan_ultralytics_tpu.models.conv import QConv2D, train_graph
+
+    m = QConv2D(64, 192, k=1, impl="auto", use_bias=False)  # cout/4 = 48
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 8, 8, 4, 16)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    jx_infer = str(jax.make_jaxpr(lambda p, xx: m.apply(p, xx))(v, x))
+    with train_graph():
+        jx_train = str(jax.make_jaxpr(lambda p, xx: m.apply(p, xx))(v, x))
+    assert "feature_group_count=4" in jx_infer, "inference: 48 >= 32 -> grouped"
+    assert "feature_group_count=4" not in jx_train, "train: 48 < 128 -> folded"
+    y_i = np.asarray(m.apply(v, x))
+    with train_graph():
+        y_t = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(y_t, y_i, rtol=2e-5, atol=2e-5)
