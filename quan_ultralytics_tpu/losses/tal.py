@@ -29,21 +29,27 @@ class AssignResult(NamedTuple):
     target_gt_idx: jnp.ndarray  # [B, A] int32
 
 
-def _candidates_in_gts(anc_points: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
-    """Axis-aligned: anchor strictly inside the gt box (tal.py:252-276)."""
+def _candidates_in_gts(anc: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Axis-aligned: anchor strictly inside the gt box (tal.py:252-276).
+
+    ``anc``: [..., S, 2] broadcastable against gt's [B, M, 1, 2] (pass
+    ``anc_points[None, None]`` for the shared dense grid, or a per-batch
+    ``[B, 1, S, 2]`` selection for the sparse path)."""
     lt = gt_bboxes[..., None, :2]  # [B, M, 1, 2]
     rb = gt_bboxes[..., None, 2:4]
-    deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
-    return deltas.min(axis=-1) > eps  # [B, M, A]
+    deltas = jnp.concatenate([anc - lt, rb - anc], axis=-1)
+    return deltas.min(axis=-1) > eps  # [B, M, S]
 
 
-def _candidates_in_rotated_gts(anc_points: jnp.ndarray, gt_bboxes: jnp.ndarray) -> jnp.ndarray:
-    """Rotated: point-in-rotated-rect via edge projections (tal.py:305-331)."""
+def _candidates_in_rotated_gts(anc: jnp.ndarray, gt_bboxes: jnp.ndarray) -> jnp.ndarray:
+    """Rotated: point-in-rotated-rect via edge projections (tal.py:305-331).
+
+    ``anc`` broadcasts like in :func:`_candidates_in_gts`."""
     corners = xywhr2xyxyxyxy(gt_bboxes)  # [B, M, 4, 2]
     a, b, d = corners[..., 0, :], corners[..., 1, :], corners[..., 3, :]
     ab = (b - a)[..., None, :]  # [B, M, 1, 2]
     ad = (d - a)[..., None, :]
-    ap = anc_points[None, None] - a[..., None, :]  # [B, M, A, 2]
+    ap = anc - a[..., None, :]  # [B, M, S, 2]
     norm_ab = (ab * ab).sum(-1)
     norm_ad = (ad * ad).sum(-1)
     ap_ab = (ap * ab).sum(-1)
@@ -122,6 +128,7 @@ def task_aligned_assigner(
     eps: float = 1e-9,
     rotated: bool = False,
     bf16_metric: Optional[bool] = None,
+    impl: Optional[str] = None,
 ) -> AssignResult:
     """Wrapper resolving the metric dtype OUTSIDE the jit cache.
 
@@ -135,14 +142,17 @@ def task_aligned_assigner(
     default is untouched."""
     if bf16_metric is None:
         bf16_metric = os.environ.get("QUAN_ASSIGNER_BF16") == "1"
+    if impl is None:
+        impl = os.environ.get("QUAN_ASSIGNER_IMPL", "dense")
     return _assigner_jit(pd_scores, pd_bboxes, anc_points, gt_labels,
                          gt_bboxes, mask_gt, num_classes=num_classes,
                          topk=topk, alpha=alpha, beta=beta, eps=eps,
-                         rotated=rotated, bf16_metric=bool(bf16_metric))
+                         rotated=rotated, bf16_metric=bool(bf16_metric),
+                         impl=str(impl))
 
 
 @partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta",
-                                   "rotated", "bf16_metric"))
+                                   "rotated", "bf16_metric", "impl"))
 def _assigner_jit(
     pd_scores: jnp.ndarray,
     pd_bboxes: jnp.ndarray,
@@ -157,6 +167,7 @@ def _assigner_jit(
     eps: float = 1e-9,
     rotated: bool = False,
     bf16_metric: bool = False,
+    impl: str = "dense",
 ) -> AssignResult:
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
@@ -164,12 +175,17 @@ def _assigner_jit(
     pd_bboxes = pd_bboxes.astype(jnp.float32)
     gt_bboxes = gt_bboxes.astype(jnp.float32)
 
+    cand_fn = _candidates_in_rotated_gts if rotated else _candidates_in_gts
     if rotated:
-        mask_in_gts = _candidates_in_rotated_gts(anc_points, gt_bboxes)
         overlaps_fn = lambda g, p: jnp.clip(probiou(g, p), 0)
     else:
-        mask_in_gts = _candidates_in_gts(anc_points, gt_bboxes)
         overlaps_fn = lambda g, p: jnp.clip(bbox_iou(g, p, xywh=False, ciou=True), 0)
+    if impl == "sparse":
+        return _assigner_sparse(pd_scores, pd_bboxes, anc_points, gt_labels,
+                                gt_bboxes, mask_gt, cand_fn, overlaps_fn,
+                                num_classes, topk, alpha, beta, eps,
+                                bf16_metric)
+    mask_in_gts = cand_fn(anc_points[None, None], gt_bboxes)
 
     mask = mask_in_gts & mask_gt[..., None]  # [B, M, A]
 
@@ -234,3 +250,173 @@ def _assigner_jit(
     target_scores = target_scores * norm.astype(jnp.float32)
 
     return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
+
+
+def _scan_topk_idx(metric_chunk_fn, B: int, M: int, A: int, topk: int,
+                   xs, mdt) -> jnp.ndarray:
+    """Global top-k anchor indices per gt without materializing [B, M, A].
+
+    ``metric_chunk_fn(x) -> [B, M, CH]`` computes the align metric for one
+    anchor chunk; a lax.scan carries the running top-k (values, global idx).
+    Tie-breaking matches ``lax.top_k`` over the dense axis exactly: the carry
+    (earlier chunks, ordered value-desc then global-index-asc by induction)
+    precedes the current chunk's candidates in the merge concat, and within a
+    chunk the two-level selection preserves (sub-chunk, rank) = index order —
+    so equal values always resolve to the lowest global index, like the dense
+    :func:`_exact_topk_idx`.
+    """
+    def body(carry, x):
+        vals, idx = carry
+        off, *xi = x
+        al = metric_chunk_fn(*xi)  # [B, M, CH]
+        CH = al.shape[-1]
+        k1 = min(topk, 128)
+        v1, i1 = jax.lax.top_k(al.reshape(B, M, CH // 128, 128), k1)
+        gi = (jnp.arange(CH // 128, dtype=jnp.int32)[:, None] * 128 + i1
+              ).reshape(B, M, -1) + off
+        cat_v = jnp.concatenate([vals, v1.reshape(B, M, -1)], axis=-1)
+        cat_i = jnp.concatenate([idx, gi], axis=-1)
+        nv, sel = jax.lax.top_k(cat_v, topk)
+        ni = jnp.take_along_axis(cat_i, sel, axis=-1)
+        return (nv, ni), None
+
+    init = (jnp.full((B, M, topk), -jnp.inf, mdt),
+            jnp.zeros((B, M, topk), jnp.int32))
+    (_, idx), _ = jax.lax.scan(body, init, xs)
+    return idx
+
+
+def _assigner_sparse(
+    pd_scores: jnp.ndarray,
+    pd_bboxes: jnp.ndarray,
+    anc_points: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    cand_fn,
+    overlaps_fn,
+    num_classes: int,
+    topk: int,
+    alpha: float,
+    beta: float,
+    eps: float,
+    bf16_metric: bool,
+) -> AssignResult:
+    """Sparse TAL: chunk-scan top-k, then resolve on the <= M*topk selected
+    anchors only.
+
+    Output-equivalent to the dense ``_assigner_jit`` chain (bitwise, including
+    top-k/argmax tie order and the reference's index-0 quirks — see
+    tests/test_losses.py), but the dense [B, M, A] intermediates (~66 MB each
+    at b24/M=64/A=21504, many passes of the train profile's loop-fusion
+    bucket) never materialize: phase A streams the metric through a lax.scan
+    keeping only a [B, M, k] top-k carry, and phase B recomputes
+    overlaps/metrics at the selected anchors ([B, M, M*k] — 33x smaller) and
+    scatters per-anchor results into [B, A] maps. Reference semantics:
+    ultralytics/utils/tal.py:58-296.
+    """
+    B, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    D = pd_bboxes.shape[-1]
+    mdt = jnp.bfloat16 if bf16_metric else jnp.float32
+    prec = None if bf16_metric else jax.lax.Precision.HIGHEST
+    gt_lab = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)
+    lab_oh = jax.nn.one_hot(gt_lab, nc, dtype=mdt)  # [B, M, nc]
+
+    def chunk_metric(anc, sc, pb):
+        # anc [CH, 2], sc [B, CH, nc], pb [B, CH, D] -> align metric [B, M, CH]
+        msk = cand_fn(anc[None, None], gt_bboxes) & mask_gt[..., None]
+        s_gt = jnp.einsum("bmn,ban->bma", lab_oh, sc.astype(mdt), precision=prec)
+        bs = jnp.where(msk, s_gt, jnp.asarray(0.0, mdt))
+        ov = jnp.where(msk,
+                       overlaps_fn(gt_bboxes[:, :, None, :],
+                                   pb[:, None, :, :]).astype(mdt),
+                       jnp.asarray(0.0, mdt))
+        return bs**alpha * ov**beta
+
+    # ----- phase A: top-k indices via chunked scan ---------------------------
+    # ~8 scan steps; chunk a multiple of 128 so the in-chunk two-level top-k
+    # tie order equals index order. Padded anchors sit at (-1e9, -1e9) (never
+    # inside a gt -> metric 0) at indices >= A, so real anchors always win
+    # ties — exactly the dense behavior where padding is -inf.
+    CH = 128 * max(1, -(-A // (128 * 8)))
+    Ap = -(-A // CH) * CH
+    pad = Ap - A
+    anc_p = jnp.pad(anc_points, ((0, pad), (0, 0)), constant_values=-1e9)
+    sc_p = jnp.pad(pd_scores, ((0, 0), (0, pad), (0, 0)))
+    pb_p = jnp.pad(pd_bboxes, ((0, 0), (0, pad), (0, 0)))
+    nst = Ap // CH
+    xs = (jnp.arange(nst, dtype=jnp.int32) * CH,
+          anc_p.reshape(nst, CH, 2),
+          sc_p.reshape(B, nst, CH, nc).transpose(1, 0, 2, 3),
+          pb_p.reshape(B, nst, CH, D).transpose(1, 0, 2, 3))
+    idx = _scan_topk_idx(chunk_metric, B, M, A, topk, xs, mdt)  # [B, M, k]
+
+    # ----- phase B: sparse resolution on the selected anchors ----------------
+    S = M * topk
+    sel = idx.reshape(B, S)  # global anchor ids (always < A: metric >= 0 at
+    #                          real anchors beats 0-valued padding on index)
+    ap_sel = anc_points[sel]                                        # [B, S, 2]
+    pb_sel = jnp.take_along_axis(pd_bboxes, sel[..., None], axis=1)  # [B, S, D]
+    ps_sel = jnp.take_along_axis(pd_scores, sel[..., None], axis=1)  # [B, S, nc]
+
+    in_sel = cand_fn(ap_sel[:, None], gt_bboxes)                    # [B, M, S]
+    msk_sel = in_sel & mask_gt[..., None]
+    s_gt = jnp.einsum("bmn,bsn->bms", lab_oh, ps_sel.astype(mdt), precision=prec)
+    bs_sel = jnp.where(msk_sel, s_gt, jnp.asarray(0.0, mdt))
+    ov_sel = jnp.where(msk_sel,
+                       overlaps_fn(gt_bboxes[:, :, None, :],
+                                   pb_sel[:, None, :, :]).astype(mdt),
+                       jnp.asarray(0.0, mdt))
+    al_sel = bs_sel**alpha * ov_sel**beta                           # [B, M, S]
+
+    # own-pick activity per column (column s belongs to gt m_col = s // topk);
+    # reproduces mask_pos = mask_topk * mask_in_gts * mask_gt at the picks
+    # (incl. the k==1 index-0 quirk: mask_gt zeroes invalid rows either way).
+    m_col = jnp.repeat(jnp.arange(M, dtype=jnp.int32), topk)        # [S]
+    col = jnp.arange(S, dtype=jnp.int32)
+    pre = msk_sel[:, m_col, col]                                    # [B, S]
+
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None]
+    fg_cnt = jnp.zeros((B, A), jnp.int32).at[bi, sel].add(pre.astype(jnp.int32))
+    multi = jnp.take_along_axis(fg_cnt, sel, axis=1) > 1            # [B, S]
+    m_star = ov_sel.argmax(axis=1).astype(jnp.int32)                # [B, S]
+    # assigned gt per column; M = "inactive" sentinel (tal.py:277-296)
+    active_m = jnp.where(multi, m_star,
+                         jnp.where(pre, m_col[None], jnp.int32(M)))
+    a_col = jnp.minimum(active_m, M - 1)
+
+    tgt = jnp.full((B, A), M, jnp.int32).at[bi, sel].min(active_m)
+    fg_mask = tgt < M
+    target_gt_idx = jnp.where(fg_mask, tgt, 0)
+
+    # targets: scatter the assigned gt's label/box at each active anchor;
+    # inactive anchors keep gt 0's data like the dense argmax-of-zeros fill
+    lab_col = jnp.take_along_axis(gt_lab, a_col, axis=1)            # [B, S]
+    lab_img = jnp.full((B, A), jnp.iinfo(jnp.int32).max, jnp.int32
+                       ).at[bi, sel].min(jnp.where(active_m < M, lab_col,
+                                                   jnp.iinfo(jnp.int32).max))
+    target_labels = jnp.where(fg_mask, lab_img, gt_lab[:, :1])
+    box_col = jnp.take_along_axis(gt_bboxes, a_col[..., None], axis=1)  # [B,S,D]
+    box_img = jnp.full((B, A, D), jnp.inf, jnp.float32
+                       ).at[bi, sel].min(jnp.where((active_m < M)[..., None],
+                                                   box_col, jnp.inf))
+    target_bboxes = jnp.where(fg_mask[..., None], box_img, gt_bboxes[:, :1])
+    target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=jnp.float32)
+    target_scores = target_scores * fg_mask[..., None]
+
+    # normalize (tal.py:117-125): per-gt maxima over its assigned anchors
+    act3 = jnp.arange(M, dtype=jnp.int32)[None, :, None] == active_m[:, None, :]
+    pos_align = jnp.where(act3, al_sel, jnp.asarray(0.0, mdt)).max(-1)   # [B, M]
+    pos_overlap = jnp.where(act3, ov_sel, jnp.asarray(0.0, mdt)).max(-1)
+    po_col = jnp.take_along_axis(pos_overlap, a_col, axis=1)
+    pa_col = jnp.take_along_axis(pos_align, a_col, axis=1)
+    al_col = jnp.take_along_axis(al_sel, a_col[:, None, :], axis=1)[:, 0]
+    norm_col = jnp.where(active_m < M,
+                         al_col * po_col / (pa_col + eps),
+                         jnp.asarray(0.0, mdt))
+    norm = jnp.zeros((B, A), mdt).at[bi, sel].max(norm_col)
+    target_scores = target_scores * norm.astype(jnp.float32)[..., None]
+
+    return AssignResult(target_labels, target_bboxes, target_scores, fg_mask,
+                        target_gt_idx)

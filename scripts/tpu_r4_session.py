@@ -192,8 +192,63 @@ def s_i8c():
                 os.environ[k] = vv
 
 
+@section("infercheck")
+def s_infercheck():
+    # Headline sanity at HEAD defaults (expect ~985 img/s u8 b128 @1024).
+    try:
+        ips, dt, cs = infer_pipeline_imgs(128, env=BASE, input_u8=True)
+        emit(section="infercheck", cfg="r4-default+u8 b128", img_s=round(ips, 1),
+             ms_iter=round(dt * 1e3, 1), compile_s=round(cs, 1))
+    except Exception as e:
+        emit(section="infercheck", cfg="r4-default+u8 b128", error=repr(e)[:250])
+
+
+@section("trainbatch2")
+def s_trainbatch2():
+    # The fold-all-in-train default (d8a1d34) cut ~17 ms/step of layout flips;
+    # the batch knee may have moved. Rescan b32/b40/b48 no-remat.
+    for Bt in (32, 40, 48):
+        try:
+            ips, ms, cs = _train_step_ms(Bt, False, BASE)
+            emit(section="trainbatch2", cfg=f"foldall b{Bt}",
+                 img_s=round(ips, 1), ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="trainbatch2", cfg=f"foldall b{Bt}", error=repr(e)[:250])
+
+
+@section("d640train2")
+def s_d640train2():
+    # detect train @640 re-measure under fold-all (pre-fix: b128 698.5).
+    for Bt in (128, 64):
+        try:
+            ips, ms, cs = _task_train_step_ms("yolo11n-quan.yaml", None, Bt,
+                                              640, BASE)
+            emit(section="d640train2", cfg=f"detect b{Bt} @640 foldall",
+                 img_s=round(ips, 1), ms_step=round(ms, 1), compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="d640train2", cfg=f"detect b{Bt} @640 foldall",
+                 error=repr(e)[:250])
+
+
+@section("assign_ab")
+def s_assign_ab():
+    # Sparse (scan + scatter) assigner vs the dense [B,M,A] chain (VERDICT
+    # r4 #4): train b24/b32 @1024 A/B, identical otherwise.
+    for impl in ("sparse", "dense"):
+        for Bt in (24, 32):
+            try:
+                ips, ms, cs = _train_step_ms(
+                    Bt, False, {**BASE, "QUAN_ASSIGNER_IMPL": impl})
+                emit(section="assign_ab", cfg=f"assigner={impl} b{Bt}",
+                     img_s=round(ips, 1), ms_step=round(ms, 1),
+                     compile_s=round(cs, 1))
+            except Exception as e:
+                emit(section="assign_ab", cfg=f"assigner={impl} b{Bt}",
+                     error=repr(e)[:250])
+
+
 @section("trainprof24f")
-def s_trainprof24f():
+def s_trainprof24f(tag="trainprof24f"):
     # b24 no-remat train profile under the FULL winning config (incl.
     # l0=fine, which r3's trainprof24 predates): name the layout-flip copies
     # behind the 46.3 ms data-formatting bucket (VERDICT r4 #5).
@@ -224,18 +279,18 @@ def s_trainprof24f():
         }
         state, loss, aux = step_fn(state, batch)
         float(loss)  # compile + warm
-        jax.profiler.start_trace("/tmp/qtrace_trainprof24f")
+        jax.profiler.start_trace(f"/tmp/qtrace_{tag}")
         for _ in range(3):
             state, loss, aux = step_fn(state, batch)
         float(loss)
         jax.profiler.stop_trace()
         from tpu_profile_copies import parse_trace
-        by_cat, by_op = parse_trace("/tmp/qtrace_trainprof24f")
+        by_cat, by_op = parse_trace(f"/tmp/qtrace_{tag}")
         cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
-        emit(section="trainprof24f",
+        emit(section=tag,
              per_iter_ms_by_category={k: round(v / 3, 2) for k, v in cats})
         for name, (ms, n, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:24]:
-            emit(section="trainprof24f", op=name, ms_iter=round(ms / 3, 3),
+            emit(section=tag, op=name, ms_iter=round(ms / 3, 3),
                  count=n, long_name=long_name[:300])
     finally:
         for k, vv in saved.items():
@@ -243,6 +298,13 @@ def s_trainprof24f():
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = vv
+
+
+@section("trainprof24i")
+def s_trainprof24i():
+    # Fresh train profile at HEAD (fold-all-in-train default, d8a1d34):
+    # which buckets remain after the layout flips went away?
+    s_trainprof24f(tag="trainprof24i")
 
 
 def main():
@@ -259,7 +321,10 @@ def main():
         pass
     secs = {f._section: f for f in [s_health, s_combo2, s_d640train,
                                     s_segposetrain, s_trainprof24f, s_i8c,
-                                    s_trainbest, s_trainfold, s_d640f]}
+                                    s_trainbest, s_trainfold, s_d640f,
+                                    s_infercheck, s_trainbatch2,
+                                    s_d640train2, s_assign_ab,
+                                    s_trainprof24i]}
     names = sys.argv[1:] or ["health", "combo2", "d640train", "segposetrain",
                              "trainprof24f"]
     for n in names:

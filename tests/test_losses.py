@@ -264,3 +264,112 @@ def test_assigner_bf16_rotated_thin_boxes_no_nan():
         jnp.asarray(labels), jnp.asarray(gt), jnp.asarray(mask),
         num_classes=nc, rotated=True, bf16_metric=True)
     assert np.isfinite(np.asarray(res.target_scores)).all()
+
+
+# ---------------------------------------------------------------------------
+# Sparse assigner (scan top-k + scatter resolution, losses/tal.py:_assigner_
+# sparse) must be BITWISE equal to the dense [B, M, A] chain — including
+# top-k/argmax tie order and the reference's index-0 quirks.
+# ---------------------------------------------------------------------------
+
+def _rand_assigner_case(seed, imgsz, B=3, M=8, nc=7, rotated=False,
+                        tie_heavy=False, n_valid=None):
+    rng = np.random.default_rng(seed)
+    shapes = [(imgsz // s, imgsz // s) for s in (8, 16, 32)]
+    anchors, stride_t = make_anchors(shapes, [8, 16, 32], 0.5)
+    anc_pix = np.asarray(anchors * stride_t)
+    A = anc_pix.shape[0]
+    pd_scores = rng.uniform(0, 1, (B, A, nc)).astype(np.float32)
+    ctr = rng.uniform(0, imgsz, (B, A, 2)).astype(np.float32)
+    wh = rng.uniform(4, imgsz / 2, (B, A, 2)).astype(np.float32)
+    if rotated:
+        ang = rng.uniform(-1.5, 1.5, (B, A, 1)).astype(np.float32)
+        pd_boxes = np.concatenate([ctr, wh, ang], -1)
+    else:
+        pd_boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1)
+    gctr = rng.uniform(imgsz * 0.2, imgsz * 0.8, (B, M, 2)).astype(np.float32)
+    gwh = rng.uniform(8, imgsz / 2, (B, M, 2)).astype(np.float32)
+    if rotated:
+        gang = rng.uniform(-1.5, 1.5, (B, M, 1)).astype(np.float32)
+        gt = np.concatenate([gctr, gwh, gang], -1)
+    else:
+        gt = np.concatenate([gctr - gwh / 2, gctr + gwh / 2], -1)
+    if tie_heavy:
+        # identical predicted boxes + 2-level scores -> many exact metric
+        # ties, exercising the lowest-global-index tie-breaking path
+        pd_boxes = np.tile(pd_boxes[:, :1], (1, A, 1))
+        pd_scores = np.where(pd_scores > 0.5, 0.5, 0.25).astype(np.float32)
+    labels = rng.integers(0, nc, (B, M)).astype(np.int32)
+    mask = np.zeros((B, M), bool)
+    for b in range(B):
+        nv = int(rng.integers(0, M + 1)) if n_valid is None else n_valid
+        mask[b, :nv] = True
+    return (jnp.asarray(pd_scores), jnp.asarray(pd_boxes),
+            jnp.asarray(anc_pix), jnp.asarray(labels), jnp.asarray(gt),
+            jnp.asarray(mask))
+
+
+def _assert_assigner_impls_equal(args, nc=7, **kw):
+    from quan_ultralytics_tpu.losses.tal import AssignResult
+
+    d = task_aligned_assigner(*args, num_classes=nc, impl="dense", **kw)
+    s = task_aligned_assigner(*args, num_classes=nc, impl="sparse", **kw)
+    for name in AssignResult._fields:
+        dv, sv = np.asarray(getattr(d, name)), np.asarray(getattr(s, name))
+        assert dv.dtype == sv.dtype, (name, dv.dtype, sv.dtype)
+        if not np.array_equal(dv, sv):
+            bad = np.argwhere(dv != sv)
+            raise AssertionError(
+                f"{name}: {bad.shape[0]} mismatches, first at {bad[0]}: "
+                f"dense={dv[tuple(bad[0])]} sparse={sv[tuple(bad[0])]}")
+
+
+def test_assigner_sparse_matches_dense_axis_aligned():
+    _assert_assigner_impls_equal(_rand_assigner_case(0, 256))
+
+
+def test_assigner_sparse_matches_dense_rotated():
+    _assert_assigner_impls_equal(_rand_assigner_case(1, 128, rotated=True),
+                                 rotated=True)
+
+
+def test_assigner_sparse_matches_dense_bf16_metric():
+    _assert_assigner_impls_equal(_rand_assigner_case(2, 256), bf16_metric=True)
+    _assert_assigner_impls_equal(_rand_assigner_case(3, 128, rotated=True),
+                                 rotated=True, bf16_metric=True)
+
+
+def test_assigner_sparse_matches_dense_tie_heavy():
+    _assert_assigner_impls_equal(_rand_assigner_case(4, 256, tie_heavy=True))
+    _assert_assigner_impls_equal(
+        _rand_assigner_case(5, 128, rotated=True, tie_heavy=True), rotated=True)
+
+
+def test_assigner_sparse_matches_dense_edge_cases():
+    # empty gt, all-valid gt, topk=1, multi-chunk scan (A=5376 -> CH=768)
+    _assert_assigner_impls_equal(_rand_assigner_case(6, 128, n_valid=0))
+    _assert_assigner_impls_equal(_rand_assigner_case(7, 128, n_valid=8))
+    _assert_assigner_impls_equal(_rand_assigner_case(8, 128), topk=1)
+    _assert_assigner_impls_equal(_rand_assigner_case(9, 512, B=2))
+
+
+def test_obb_loss_sparse_assigner_matches_dense(monkeypatch):
+    """End-to-end through obb_loss: value and grads identical."""
+    nc = 15
+    feats = _fake_feats(nc=nc)
+    rng = np.random.default_rng(3)
+    angles = [jnp.asarray(rng.uniform(-0.7, 2.3, (2, h, w, 1)).astype(np.float32))
+              for h, w in ((8, 8), (4, 4), (2, 2))]
+    batch = _fake_batch_obb()
+
+    def f(fs, impl):
+        monkeypatch.setenv("QUAN_ASSIGNER_IMPL", impl)
+        total, aux = obb_loss((fs, angles), batch, (8, 16, 32), nc=nc)
+        return total
+
+    assert np.array_equal(np.asarray(f(feats, "dense")),
+                          np.asarray(f(feats, "sparse")))
+    gd = jax.grad(lambda fs: f(fs, "dense"))(feats)
+    gs = jax.grad(lambda fs: f(fs, "sparse"))(feats)
+    for a, b in zip(gd, gs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
