@@ -139,7 +139,14 @@ def task_aligned_assigner(
     largest HBM intermediates (~132 MB each at b24/M=64/A=21504). Targets
     and the final normalize stay f32. OFF by default: selection can differ
     where competing metrics are within bf16 resolution, so the exact-parity
-    default is untouched."""
+    default is untouched.
+
+    ``impl`` (default: $QUAN_ASSIGNER_IMPL or "dense"): "sparse" streams the
+    metric through a chunked scan and resolves targets on the <= M*topk
+    selected anchors only — bitwise-equal outputs, ~33x smaller peak
+    intermediates, but MEASURED SLOWER on v5e (train b24 @1024: 132.8 vs
+    dense 156.9 img/s, r4 assign_ab — the scan serializes what XLA fuses
+    wide). A memory knob for M or A far past the defaults, not a speed knob."""
     if bf16_metric is None:
         bf16_metric = os.environ.get("QUAN_ASSIGNER_BF16") == "1"
     if impl is None:

@@ -247,6 +247,41 @@ def s_assign_ab():
                      error=repr(e)[:250])
 
 
+@section("assign640")
+def s_assign640():
+    # Sparse assigner at the COCO train shape: A=8400 but b128 makes the
+    # dense [B,M,A] chain ~275 MB per intermediate.
+    for impl in ("sparse", "dense"):
+        for Bt in (128, 64):
+            try:
+                ips, ms, cs = _task_train_step_ms(
+                    "yolo11n-quan.yaml", None, Bt, 640,
+                    {**BASE, "QUAN_ASSIGNER_IMPL": impl})
+                emit(section="assign640", cfg=f"assigner={impl} b{Bt} @640",
+                     img_s=round(ips, 1), ms_step=round(ms, 1),
+                     compile_s=round(cs, 1))
+            except Exception as e:
+                emit(section="assign640", cfg=f"assigner={impl} b{Bt} @640",
+                     error=repr(e)[:250])
+
+
+@section("d640batch")
+def s_d640batch():
+    # @640 inference knee: b128 measured 1883.5; the @1024 knee was at the
+    # HBM spill. Per-image footprint at 640 is 2.56x smaller — scan up.
+    for b in (192, 256):
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                b, imgsz=640, nc=80, yaml="yolo11n-quan.yaml", rotated=False,
+                env=BASE, input_u8=True)
+            emit(section="d640batch", cfg=f"r4-default+u8 b{b} @640",
+                 img_s=round(ips, 1), ms_iter=round(dt * 1e3, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="d640batch", cfg=f"r4-default+u8 b{b} @640",
+                 error=repr(e)[:250])
+
+
 @section("trainprof24f")
 def s_trainprof24f(tag="trainprof24f"):
     # b24 no-remat train profile under the FULL winning config (incl.
@@ -307,6 +342,21 @@ def s_trainprof24i():
     s_trainprof24f(tag="trainprof24i")
 
 
+@section("trainprof24s")
+def s_trainprof24s():
+    # Train profile with the sparse assigner: how much of the loop-fusion
+    # bucket does retiring the dense [B,M,A] chain recover?
+    saved = os.environ.get("QUAN_ASSIGNER_IMPL")
+    os.environ["QUAN_ASSIGNER_IMPL"] = "sparse"
+    try:
+        s_trainprof24f(tag="trainprof24s")
+    finally:
+        if saved is None:
+            os.environ.pop("QUAN_ASSIGNER_IMPL", None)
+        else:
+            os.environ["QUAN_ASSIGNER_IMPL"] = saved
+
+
 def main():
     import subprocess
 
@@ -324,7 +374,8 @@ def main():
                                     s_trainbest, s_trainfold, s_d640f,
                                     s_infercheck, s_trainbatch2,
                                     s_d640train2, s_assign_ab,
-                                    s_trainprof24i]}
+                                    s_trainprof24i, s_assign640,
+                                    s_trainprof24s, s_d640batch]}
     names = sys.argv[1:] or ["health", "combo2", "d640train", "segposetrain",
                              "trainprof24f"]
     for n in names:
