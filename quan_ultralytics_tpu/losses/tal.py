@@ -85,7 +85,30 @@ def _exact_topk_idx(metrics: jnp.ndarray, topk: int, chunk: int = 128) -> jnp.nd
     return jnp.take_along_axis(gidx, sel, axis=-1)
 
 
-def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
+def _iter_topk_idx(metrics: jnp.ndarray, topk: int) -> jnp.ndarray:
+    """Exact top-k indices via ``topk`` iterative argmax+mask passes.
+
+    ``lax.top_k`` over chunk-reshaped metrics lowers to a segment SORT of
+    value+index tensors (~6.6 ms/step on the [24,64,168,128] level-1 sort in
+    trainprof24i); for small static k, k fused (argmax, mask) passes over
+    [B, M, A] touch only the bf16 value tensor and no index payload.
+    Rank-ordered output with ``lax.top_k``'s exact tie order: ``argmax``
+    returns the lowest index among equals, and masking the previous pick
+    before the next pass reproduces (value desc, index asc).
+    """
+    B, M, A = metrics.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, M, A), 2)
+    idxs = []
+    m = metrics
+    for _ in range(topk):
+        i = jnp.argmax(m, axis=-1).astype(jnp.int32)  # lowest-index ties
+        idxs.append(i)
+        m = jnp.where(iota == i[..., None], -jnp.inf, m)
+    return jnp.stack(idxs, axis=-1)
+
+
+def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray,
+                      topk_impl: str = "chunk") -> jnp.ndarray:
     """Reference select_topk_candidates (tal.py:160-193) incl. its index-0
     collision quirk: invalid rows scatter all their k picks onto index 0,
     and any count > 1 is dropped.
@@ -103,7 +126,13 @@ def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) ->
     mask_gt; we still reproduce it by scattering 0 for invalid rows.)
     """
     B, M, A = metrics.shape
-    idx = _exact_topk_idx(metrics, topk)  # [B, M, k], distinct within a row
+    # both impls produce identical indices (tie order included); pick via
+    # QUAN_TOPK_IMPL=iter|chunk (A/B'd on chip before flipping the default),
+    # resolved in task_aligned_assigner and plumbed here as a static.
+    if topk <= 16 and topk_impl == "iter":
+        idx = _iter_topk_idx(metrics, topk)
+    else:
+        idx = _exact_topk_idx(metrics, topk)  # [B, M, k], distinct in a row
     val = jnp.broadcast_to(valid_gt[..., None], idx.shape).astype(metrics.dtype)
     if topk == 1:
         val = jnp.ones_like(val)  # reference keeps the single index-0 pick
@@ -129,6 +158,7 @@ def task_aligned_assigner(
     rotated: bool = False,
     bf16_metric: Optional[bool] = None,
     impl: Optional[str] = None,
+    topk_impl: Optional[str] = None,
 ) -> AssignResult:
     """Wrapper resolving the metric dtype OUTSIDE the jit cache.
 
@@ -151,15 +181,18 @@ def task_aligned_assigner(
         bf16_metric = os.environ.get("QUAN_ASSIGNER_BF16") == "1"
     if impl is None:
         impl = os.environ.get("QUAN_ASSIGNER_IMPL", "dense")
+    if topk_impl is None:
+        topk_impl = os.environ.get("QUAN_TOPK_IMPL", "chunk")
     return _assigner_jit(pd_scores, pd_bboxes, anc_points, gt_labels,
                          gt_bboxes, mask_gt, num_classes=num_classes,
                          topk=topk, alpha=alpha, beta=beta, eps=eps,
                          rotated=rotated, bf16_metric=bool(bf16_metric),
-                         impl=str(impl))
+                         impl=str(impl), topk_impl=str(topk_impl))
 
 
 @partial(jax.jit, static_argnames=("num_classes", "topk", "alpha", "beta",
-                                   "rotated", "bf16_metric", "impl"))
+                                   "rotated", "bf16_metric", "impl",
+                                   "topk_impl"))
 def _assigner_jit(
     pd_scores: jnp.ndarray,
     pd_bboxes: jnp.ndarray,
@@ -175,6 +208,7 @@ def _assigner_jit(
     rotated: bool = False,
     bf16_metric: bool = False,
     impl: str = "dense",
+    topk_impl: str = "chunk",
 ) -> AssignResult:
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
@@ -220,7 +254,7 @@ def _assigner_jit(
         jnp.asarray(0.0, mdt))
     align_metric = bbox_scores**alpha * overlaps**beta
 
-    mask_topk = _select_topk_mask(align_metric, topk, mask_gt)
+    mask_topk = _select_topk_mask(align_metric, topk, mask_gt, topk_impl)
     mask_pos = mask_topk * mask_in_gts.astype(mdt) * mask_gt[..., None].astype(mdt)
 
     # Resolve anchors claimed by multiple gts by highest overlap (tal.py:277-296).

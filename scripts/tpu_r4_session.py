@@ -265,6 +265,22 @@ def s_assign640():
                      error=repr(e)[:250])
 
 
+@section("topk_ab")
+def s_topk_ab():
+    # Iterative argmax top-k vs the chunked two-level sort (trainprof24i:
+    # sort.2 6.6 ms + sort.3 2.0 ms). Bitwise-equal outputs; A/B train b24.
+    for impl in ("iter", "chunk"):
+        try:
+            ips, ms, cs = _train_step_ms(
+                24, False, {**BASE, "QUAN_TOPK_IMPL": impl})
+            emit(section="topk_ab", cfg=f"topk={impl} b24",
+                 img_s=round(ips, 1), ms_step=round(ms, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="topk_ab", cfg=f"topk={impl} b24",
+                 error=repr(e)[:250])
+
+
 @section("d640batch")
 def s_d640batch():
     # @640 inference knee: b128 measured 1883.5; the @1024 knee was at the
@@ -375,7 +391,8 @@ def main():
                                     s_infercheck, s_trainbatch2,
                                     s_d640train2, s_assign_ab,
                                     s_trainprof24i, s_assign640,
-                                    s_trainprof24s, s_d640batch]}
+                                    s_trainprof24s, s_d640batch,
+                                    s_topk_ab]}
     names = sys.argv[1:] or ["health", "combo2", "d640train", "segposetrain",
                              "trainprof24f"]
     for n in names:

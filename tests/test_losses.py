@@ -373,3 +373,40 @@ def test_obb_loss_sparse_assigner_matches_dense(monkeypatch):
     gs = jax.grad(lambda fs: f(fs, "sparse"))(feats)
     for a, b in zip(gd, gs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_iter_topk_matches_lax_topk_bitwise():
+    """_iter_topk_idx must equal lax.top_k indices exactly — values, order,
+    and tie-breaking (lowest index among equals) — on random, tie-heavy,
+    all-zero (invalid-row) and bf16 metrics."""
+    import jax
+    from quan_ultralytics_tpu.losses.tal import _iter_topk_idx
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.uniform(0, 1, (2, 5, 300)).astype(np.float32),
+        np.round(rng.uniform(0, 1, (2, 5, 300)) * 4) / 4,  # heavy ties
+        np.zeros((2, 5, 300), np.float32),  # invalid-row pattern
+    ]
+    cases.append(cases[0].astype(jnp.bfloat16))
+    for m in cases:
+        m = jnp.asarray(m)
+        for k in (1, 10, 13):
+            _, want = jax.lax.top_k(m, k)
+            got = _iter_topk_idx(m, k)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_assigner_topk_impl_equivalence(monkeypatch):
+    """Full assigner output identical under QUAN_TOPK_IMPL=iter vs chunk."""
+    from quan_ultralytics_tpu.losses.tal import AssignResult
+
+    args = _rand_assigner_case(12, 256)
+    outs = []
+    for impl in ("chunk", "iter"):
+        monkeypatch.setenv("QUAN_TOPK_IMPL", impl)
+        # resolved into a static jit arg, so no cache clearing is needed
+        outs.append(task_aligned_assigner(*args, num_classes=7))
+    for name in AssignResult._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(outs[0], name)),
+                                      np.asarray(getattr(outs[1], name)))
