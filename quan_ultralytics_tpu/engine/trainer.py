@@ -71,6 +71,12 @@ class TrainConfig:
     patience: int = 100
     multi_scale: bool = False
     guard_nan: bool = True  # skip optimizer update on non-finite loss/grads
+    assigner_bf16: Optional[bool] = None  # TAL metric chain in bf16 (faster,
+    # 139.9 vs 136.3 img/s b24@1024 r3 abf16 A/B; assignment is a selection
+    # heuristic, no gradients flow through it). None -> default ON for the
+    # trainer unless $QUAN_ASSIGNER_BF16 == "0" opts out. Passed explicitly
+    # into the loss (NOT via environ mutation): standalone loss calls keep
+    # their exact-f32 default regardless of trainer activity in the process.
 
 
 class TrainState(struct.PyTreeNode):
@@ -223,8 +229,18 @@ class Trainer:
         jax.block_until_ready(state)
         return state
 
+    def _assigner_bf16(self) -> bool:
+        """Resolve the trainer's TAL-metric dtype choice (read-only env
+        opt-out; never mutates process state)."""
+        import os
+
+        if self.cfg.assigner_bf16 is not None:
+            return bool(self.cfg.assigner_bf16)
+        return os.environ.get("QUAN_ASSIGNER_BF16", "1") == "1"
+
     def loss_fn(self, params, batch_stats, batch):
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        assigner_bf16 = self._assigner_bf16()
         img = batch["img"]
         if img.dtype == jnp.uint8:
             # loader ships uint8 (4x less H2D); divide in f32 first so the
@@ -246,20 +262,24 @@ class Trainer:
                 mutable=["batch_stats"],
             )
         if self.model.task == "obb":
-            total, aux = obb_loss(out, batch, self.model.strides, self.model.nc, hyp=self.loss_hyp)
+            total, aux = obb_loss(out, batch, self.model.strides, self.model.nc,
+                                  hyp=self.loss_hyp, assigner_bf16=assigner_bf16)
         elif self.model.task == "segment":
             from quan_ultralytics_tpu.losses.segpose import segmentation_loss
 
             total, aux = segmentation_loss(out, batch, self.model.strides,
-                                           self.model.nc, hyp=self.loss_hyp)
+                                           self.model.nc, hyp=self.loss_hyp,
+                                           assigner_bf16=assigner_bf16)
         elif self.model.task == "pose":
             from quan_ultralytics_tpu.losses.segpose import pose_loss
 
             kpt_shape = tuple(self.model.specs[-1].args[1])
             total, aux = pose_loss(out, batch, self.model.strides, self.model.nc,
-                                   kpt_shape=kpt_shape, hyp=self.loss_hyp)
+                                   kpt_shape=kpt_shape, hyp=self.loss_hyp,
+                                   assigner_bf16=assigner_bf16)
         else:
-            total, aux = detection_loss(out, batch, self.model.strides, self.model.nc, hyp=self.loss_hyp)
+            total, aux = detection_loss(out, batch, self.model.strides, self.model.nc,
+                                        hyp=self.loss_hyp, assigner_bf16=assigner_bf16)
         return total, (aux, updates["batch_stats"])
 
     def make_train_step(self):
@@ -270,16 +290,10 @@ class Trainer:
             # int8 is a serving-only impl (ops/qconv.py qconv2d_int8)
             raise RuntimeError("QUAN_QCONV_IMPL=int8 is inference-only; "
                                "unset it for training")
-        # bf16 assigner metric chain: the dense [B,M,A] alignment tensors are
-        # the train step's largest HBM intermediates; the assignment is a
-        # selection heuristic (no gradients flow through it) and the bf16
-        # chain measured faster (139.9 vs 136.3 img/s b24@1024, r3 abf16
-        # A/B). Trainer-scoped default — standalone loss calls (parity
-        # tests) keep the exact f32 default; QUAN_ASSIGNER_BF16=0 opts out.
-        os.environ.setdefault("QUAN_ASSIGNER_BF16", "1")
         tx = self.tx
 
         guard_nan = self.cfg.guard_nan
+        accumulate = self.accumulate
 
         @jax.jit
         def train_step(state: TrainState, batch):
@@ -289,7 +303,23 @@ class Trainer:
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             step = state.step + 1
-            ema = ema_update(state.ema_params, new_params, step, self.cfg.ema_decay, self.cfg.ema_tau)
+            # EMA follows OPTIMIZER updates, not micro-steps (reference
+            # trainer.py:586-594 calls ema.update only inside optimizer_step,
+            # and ModelEMA.updates counts those calls, torch_utils.py:495).
+            # Under grad accumulation optax.MultiSteps only applies the inner
+            # update every `accumulate` micro-steps; on the other micro-steps
+            # params are unchanged and the EMA must not decay toward them.
+            if accumulate > 1:
+                n_updates = new_opt.gradient_step  # optimizer-update count
+                did_update = n_updates != state.opt_state.gradient_step
+            else:
+                n_updates = step
+                did_update = jnp.bool_(True)
+            ema = ema_update(state.ema_params, new_params, n_updates,
+                             self.cfg.ema_decay, self.cfg.ema_tau)
+            ema = jax.tree_util.tree_map(
+                lambda e_new, e_old: jnp.where(did_update, e_new, e_old),
+                ema, state.ema_params)
             if guard_nan:
                 # NaN guard (the reference's commented nan_to_num hook,
                 # trainer.py:248, done right): a non-finite loss or grad skips

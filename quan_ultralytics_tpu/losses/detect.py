@@ -83,6 +83,7 @@ def detection_loss(
     nc: int,
     reg_max: int = 16,
     hyp: LossHyp = LossHyp(),
+    assigner_bf16: bool | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Axis-aligned v8 detection loss (reference loss.py:398-502).
 
@@ -92,9 +93,13 @@ def detection_loss(
       'mask'   [B, M] bool validity
     Returns (total_loss == sum * batch_size, aux dict), matching the
     reference's ``loss.sum() * batch_size`` (loss.py:501).
+
+    ``assigner_bf16``: explicit bf16-metric-chain selection for the TAL
+    assigner (the trainer passes its config here); ``None`` keeps the
+    standalone default — exact f32 unless $QUAN_ASSIGNER_BF16 == "1".
     """
     loss_iou, loss_cls, loss_dfl, assign, ctx = detect_terms(
-        feats, batch, strides, nc, reg_max)
+        feats, batch, strides, nc, reg_max, assigner_bf16=assigner_bf16)
     B = ctx["B"]
     total = (hyp.box * loss_iou + hyp.cls * loss_cls + hyp.dfl * loss_dfl) * B
     aux = {
@@ -106,7 +111,7 @@ def detection_loss(
     return total, aux
 
 
-def detect_terms(feats, batch, strides, nc, reg_max=16):
+def detect_terms(feats, batch, strides, nc, reg_max=16, assigner_bf16=None):
     """Shared detect-loss core (assigner + cls/iou/dfl terms) used by the
     detect, segment, and pose losses. Returns
     (loss_iou, loss_cls, loss_dfl, assign, ctx) with ctx carrying the
@@ -137,6 +142,7 @@ def detect_terms(feats, batch, strides, nc, reg_max=16):
         topk=10,
         alpha=0.5,
         beta=6.0,
+        bf16_metric=assigner_bf16,
     )
     target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
     fg = assign.fg_mask  # [B, A]
@@ -186,6 +192,7 @@ def obb_loss(
     nc: int,
     reg_max: int = 16,
     hyp: LossHyp = LossHyp(),
+    assigner_bf16: bool | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """OBB loss with the QUAN quaternion angular term (loss.py:853-1047).
 
@@ -236,6 +243,7 @@ def obb_loss(
         alpha=0.5,
         beta=6.0,
         rotated=True,
+        bf16_metric=assigner_bf16,
     )
     target_scores_sum = jnp.maximum(assign.target_scores.sum(), 1.0)
     fg = assign.fg_mask

@@ -47,6 +47,7 @@ def segmentation_loss(
     reg_max: int = 16,
     hyp: LossHyp = LossHyp(),
     max_fg: int = 64,
+    assigner_bf16: bool | None = None,
 ):
     """v8SegmentationLoss (reference loss.py:504-604): detect terms + mask
     BCE. Masks are predicted as sigmoid(mc @ proto), cropped to the target
@@ -58,7 +59,7 @@ def segmentation_loss(
     """
     feats, mc, proto = preds
     loss_iou, loss_cls, loss_dfl, assign, ctx = detect_terms(
-        feats, batch, strides, nc, reg_max)
+        feats, batch, strides, nc, reg_max, assigner_bf16=assigner_bf16)
     B, A = ctx["B"], ctx["A"]
     Hp, Wp = proto.shape[1:3]
     imgsz_h, imgsz_w = ctx["imgsz"]
@@ -111,6 +112,7 @@ def pose_loss(
     pose_gain: float = 12.0,
     kobj_gain: float = 1.0,
     max_fg: int = 64,
+    assigner_bf16: bool | None = None,
 ):
     """v8PoseLoss (reference loss.py:687-786): detect terms + the OKS-style
     keypoint location loss (KeypointLoss, loss.py:90-110) + visibility BCE.
@@ -120,7 +122,7 @@ def pose_loss(
     """
     feats, kpts = preds
     loss_iou, loss_cls, loss_dfl, assign, ctx = detect_terms(
-        feats, batch, strides, nc, reg_max)
+        feats, batch, strides, nc, reg_max, assigner_bf16=assigner_bf16)
     B, A = ctx["B"], ctx["A"]
     imgsz_h, imgsz_w = ctx["imgsz"]
     nk, ndim = kpt_shape

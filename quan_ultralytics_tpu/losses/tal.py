@@ -95,6 +95,10 @@ def _iter_topk_idx(metrics: jnp.ndarray, topk: int) -> jnp.ndarray:
     Rank-ordered output with ``lax.top_k``'s exact tie order: ``argmax``
     returns the lowest index among equals, and masking the previous pick
     before the next pass reproduces (value desc, index asc).
+
+    PRECONDITION: metrics must be NaN-free (the assigner where-masks them to
+    >= 0 upstream). ``argmax`` and sort-based ``top_k`` order NaNs
+    differently, so a NaN metric would silently diverge the two impls.
     """
     B, M, A = metrics.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, M, A), 2)
@@ -129,7 +133,12 @@ def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray,
     # both impls produce identical indices (tie order included); pick via
     # QUAN_TOPK_IMPL=iter|chunk (A/B'd on chip before flipping the default),
     # resolved in task_aligned_assigner and plumbed here as a static.
-    if topk <= 16 and topk_impl == "iter":
+    if topk_impl == "iter" and topk > 16:
+        # the k sequential argmax passes only beat the chunked sort for
+        # small static k; refuse loudly rather than silently falling back
+        # (an A/B that quietly ran 'chunk' would record a bogus verdict)
+        raise ValueError(f"topk_impl='iter' supports topk <= 16, got {topk}")
+    if topk_impl == "iter":
         idx = _iter_topk_idx(metrics, topk)
     else:
         idx = _exact_topk_idx(metrics, topk)  # [B, M, k], distinct in a row
@@ -176,7 +185,12 @@ def task_aligned_assigner(
     selected anchors only — bitwise-equal outputs, ~33x smaller peak
     intermediates, but MEASURED SLOWER on v5e (train b24 @1024: 132.8 vs
     dense 156.9 img/s, r4 assign_ab — the scan serializes what XLA fuses
-    wide). A memory knob for M or A far past the defaults, not a speed knob."""
+    wide). A memory knob for M or A far past the defaults, not a speed knob.
+
+    ``topk_impl`` (default: $QUAN_TOPK_IMPL or "chunk"): "iter" replaces the
+    chunked-sort top-k with k fused argmax+mask passes — identical indices,
+    tie order included, but only supported for topk <= 16 (raises beyond;
+    the sequential passes lose to the sort for large k)."""
     if bf16_metric is None:
         bf16_metric = os.environ.get("QUAN_ASSIGNER_BF16") == "1"
     if impl is None:
@@ -359,6 +373,12 @@ def _assigner_sparse(
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
     D = pd_bboxes.shape[-1]
+    # Static invariants the padding construction relies on (trace-time):
+    #  * topk <= A — fewer anchors than picks would select padding;
+    #  * the -1e9 pad sentinel for anchor points must lie outside every gt,
+    #    which holds for any pixel-coordinate gt (coords >= 0 by domain);
+    #    padded pd_bboxes rows are only ever read under the where-mask.
+    assert topk <= A, f"sparse TAL needs topk ({topk}) <= num anchors ({A})"
     mdt = jnp.bfloat16 if bf16_metric else jnp.float32
     prec = None if bf16_metric else jax.lax.Precision.HIGHEST
     gt_lab = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)

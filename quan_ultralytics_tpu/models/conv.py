@@ -12,6 +12,7 @@ Activation layout is BHWQC ``[B, H, W, 4, C]`` (see package docstring).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import math
 from typing import Any, Optional, Tuple, Union
 
@@ -74,19 +75,21 @@ def qconv_bias_uniform(mapping_type: str = "poincare"):
 # Trace-scoped "this is a training graph" marker: trainer.loss_fn runs under
 # jax trace, so flipping this around the model apply scopes conv-impl
 # defaults (fold threshold) to the TRAIN graph only — validator/predictor
-# traces see the inference defaults. A list so the context manager mutates
-# in place (no `global` at call sites).
-_TRAIN_GRAPH = [False]
+# traces see the inference defaults. A ContextVar (not module-global mutable
+# state): concurrent traces in other threads and re-entrant uses each see
+# their own value, and the token reset restores the caller's state even on
+# exceptions — impl selection can never leak across test/apply boundaries.
+_TRAIN_GRAPH = contextvars.ContextVar("quan_train_graph", default=False)
 
 
 @contextlib.contextmanager
 def train_graph():
     """Mark the enclosed (traced) model apply as a training graph."""
-    _TRAIN_GRAPH[0] = True
+    token = _TRAIN_GRAPH.set(True)
     try:
         yield
     finally:
-        _TRAIN_GRAPH[0] = False
+        _TRAIN_GRAPH.reset(token)
 
 
 class QConv2D(nn.Module):
@@ -174,23 +177,35 @@ class QConv2D(nn.Module):
             import os as _os
 
             assert x.ndim == 4 and x.shape[-1] == 3
+            # QUAN_STEM_REMAT=1: jax.checkpoint the elementwise mapping so
+            # the backward RECOMPUTES the mapped [B,H,W,4] tensor instead of
+            # storing it for the layer-0 wgrad — the stored copy arrives in
+            # the wrong layout and its flip (copy.9443 + fusion.2272,
+            # ~4.6 ms/step b24 @1024, trainprof24i) dominates the mapping's
+            # recompute cost. Inference graphs are unaffected (no backward).
+            remat = _os.environ.get("QUAN_STEM_REMAT") == "1"
             if self.packed == "out" and _os.environ.get("QUAN_STEM_L0") == "fine":
                 # A/B alternative: no input pre-pack — layer 0 consumes the
                 # mapped fine grid directly as the (ri=1, ro=2) instance of
                 # expand_w_packed (a k=5, s=4 conv; ~2.6x fewer FLOPs than
                 # the pre-packed k=2 form and no pack transpose, but the
                 # narrow fine-grid input is XLA's to lay out)
-                x = rgb_to_quaternion(x, self.mapping_type)
+                map_fn = lambda t: rgb_to_quaternion(t, self.mapping_type)
             else:
                 # mapping + r=4 space-to-depth fused: the narrow 1024-grid
                 # input never materializes (see ops/stem.py)
                 from quan_ultralytics_tpu.ops.stem import s2d4_rgb_mapped
 
-                x = s2d4_rgb_mapped(x, self.mapping_type)
+                map_fn = lambda t: s2d4_rgb_mapped(t, self.mapping_type)
+            x = jax.checkpoint(map_fn)(x) if remat else map_fn(x)
             cin = 1
         elif first:
+            import os as _os
+
             assert x.ndim == 4 and x.shape[-1] == 3, f"RGB first layer expects NHWC, got {x.shape}"
-            x = rgb_to_quaternion(x, self.mapping_type)
+            map_fn = lambda t: rgb_to_quaternion(t, self.mapping_type)
+            x = (jax.checkpoint(map_fn)(x)
+                 if _os.environ.get("QUAN_STEM_REMAT") == "1" else map_fn(x))
             cin = 1
         else:
             assert self.c1 % 4 == 0, f"c1={self.c1} must be a multiple of 4"
@@ -244,6 +259,10 @@ class QConv2D(nn.Module):
             packed_impl = os.environ.get(
                 "QUAN_PACKED_IMPL",
                 "int8" if os.environ.get("QUAN_QCONV_IMPL") == "int8" else "folded")
+            if (packed_impl == "int8"
+                    and self.c2 < int(os.environ.get("QUAN_INT8_MIN_C", "0"))):
+                packed_impl = "folded"  # narrow stem layers stay bf16 under
+                #                         the mixed-precision int8 gate
             return qconv2d_packed(
                 x.astype(dtype), w, b,
                 stride=self.s, padding=pad, ri=ri, ro=ro,
@@ -274,8 +293,15 @@ class QConv2D(nn.Module):
             # (32 > 64 > 16, r3 fold A/B). Trainer scopes the train default
             # via `train_graph()` during its loss trace.
             fold_max = int(os.environ.get(
-                "QUAN_QCONV_FOLD_MAX", "128" if _TRAIN_GRAPH[0] else "32"))
+                "QUAN_QCONV_FOLD_MAX", "128" if _TRAIN_GRAPH.get() else "32"))
             impl = "folded" if (cout < fold_max and self.g == 1) else "grouped"
+        if impl == "int8" and self.c2 < int(os.environ.get("QUAN_INT8_MIN_C", "0")):
+            # mixed-precision serving: int8 only where the conv is wide
+            # enough for the s8 MXU 2x to beat the per-layer quant/dequant
+            # passes; narrow layers stay bf16-folded (r4 i8c: uniform int8
+            # 864 vs bf16 985 img/s — the narrow layers are where the
+            # overhead exceeds the win)
+            impl = "folded"
         if impl == "int8" and self.g == 1:
             # opt-in PTQ serving path (see ops/qconv.py qconv2d_int8):
             # quantize the mixing-folded dense kernel per out channel,
