@@ -174,33 +174,89 @@ def mixup(im1, c1, cls1, im2, c2, cls2, rng: np.random.Generator):
     return im, corners, cls
 
 
+def bbox_ioa(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2's area, [N, M] (reference utils/metrics.py
+    bbox_ioa). Boxes are xyxy pixel coords."""
+    ix1 = np.maximum(box1[:, None, 0], box2[None, :, 0])
+    iy1 = np.maximum(box1[:, None, 1], box2[None, :, 1])
+    ix2 = np.minimum(box1[:, None, 2], box2[None, :, 2])
+    iy2 = np.minimum(box1[:, None, 3], box2[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1])
+    return inter / (area2[None] + eps)
+
+
+def _hulls(corners: np.ndarray) -> np.ndarray:
+    """Unclipped axis-aligned hull xyxy [n, 4] of point sets [n, P, 2]."""
+    mn, mx = corners.min(axis=1), corners.max(axis=1)
+    return np.concatenate([mn, mx], axis=1)
+
+
 def copy_paste(im, corners, cls, rng: np.random.Generator, p: float = 0.5):
-    """Copy-paste (reference augment.py:1634, simplified): horizontally flip
-    a subset of object crops (axis-aligned hulls) into free space, adding
-    their labels."""
+    """Segment-polygon CopyPaste, reference 'flip' mode
+    (augment.py:1634-1733): candidate instances are the horizontally flipped
+    ones whose hull-box IoA with EVERY existing instance is < 0.30 (no
+    occlusion of real objects); the ``round(p * n)`` least-occluding of them
+    are pasted by copying the flipped image's pixels inside their polygons
+    (cv2.drawContours mask) and their flipped labels are appended.
+
+    ``corners`` [n, P, 2] serve as the polygons: OBB corner quads, segment
+    polygon points, or detect box corners (degenerate rectangle polygon —
+    the reference's IoA/paste math is identical there).
+    """
     n = corners.shape[0]
     if n == 0 or p == 0:
         return im, corners, cls
     h, w = im.shape[:2]
+    flipped = corners.copy()
+    flipped[..., 0] = w - flipped[..., 0]
+    ioa = bbox_ioa(_hulls(flipped), _hulls(corners))  # [n, n]
+    cand = np.nonzero((ioa < 0.30).all(axis=1))[0]
+    if cand.size == 0:
+        return im, corners, cls
+    cand = cand[np.argsort(ioa.max(axis=1)[cand])]  # least-occluding first
+    sel = cand[: round(p * cand.size)]
+    if sel.size == 0:
+        return im, corners, cls
+    mask = np.zeros((h, w), np.uint8)
+    cv2.drawContours(mask, [flipped[j].astype(np.int32) for j in sel],
+                     -1, 1, cv2.FILLED)
     out = im.copy()
-    new_c, new_k = [corners], [cls]
-    for i in range(n):
-        if rng.random() >= p:
-            continue
-        box = corners[i]
-        x1, y1 = np.clip(box.min(axis=0).astype(int), 0, [w - 1, h - 1])
-        x2, y2 = np.clip(box.max(axis=0).astype(int) + 1, 1, [w, h])
-        if x2 - x1 < 4 or y2 - y1 < 4:
-            continue
-        # mirrored destination (reference pastes the lr-flipped instance)
-        dx1, dx2 = w - x2, w - x1
-        patch = out[y1:y2, x1:x2][:, ::-1]
-        out[y1:y2, dx1:dx2] = patch
-        mirrored = box.copy()
-        mirrored[:, 0] = w - box[:, 0]
-        new_c.append(mirrored[None])
-        new_k.append(cls[i : i + 1])
-    return out, np.concatenate(new_c), np.concatenate(new_k)
+    m = mask.astype(bool)
+    out[m] = im[:, ::-1][m]  # pixels of the flipped image inside the polygons
+    return (out, np.concatenate([corners, flipped[sel]]),
+            np.concatenate([cls, cls[sel]]))
+
+
+def photometric_augment(im: np.ndarray, rng: np.random.Generator,
+                        p: float = 1.0) -> np.ndarray:
+    """cv2-native equivalents of the reference's default Albumentations list
+    (reference augment.py:1735, 1847-1850): Blur / MedianBlur / ToGray /
+    CLAHE, each applied independently at p=0.01 (the other three entries
+    ship at p=0.0 there). Pixel-level only — labels untouched.
+
+    Blur/MedianBlur draw an odd kernel from {3, 5, 7} (albumentations
+    blur_limit=7 default); CLAHE draws clip_limit from U(1, 4) on the LAB
+    L channel with an 8x8 tile grid (albumentations CLAHE defaults).
+    """
+    if p <= 0 or rng.random() >= p:
+        return im
+    if rng.random() < 0.01:
+        k = 2 * int(rng.integers(1, 4)) + 1
+        im = cv2.blur(im, (k, k))
+    if rng.random() < 0.01:
+        k = 2 * int(rng.integers(1, 4)) + 1
+        im = cv2.medianBlur(im, k)
+    if rng.random() < 0.01:
+        im = cv2.cvtColor(cv2.cvtColor(im, cv2.COLOR_RGB2GRAY),
+                          cv2.COLOR_GRAY2RGB)
+    if rng.random() < 0.01:
+        lab = cv2.cvtColor(im, cv2.COLOR_RGB2LAB)
+        clahe = cv2.createCLAHE(clipLimit=float(rng.uniform(1.0, 4.0)),
+                                tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        im = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return im
 
 
 def corners_to_xywhr(corners: np.ndarray) -> np.ndarray:

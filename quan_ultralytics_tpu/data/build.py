@@ -24,6 +24,7 @@ from quan_ultralytics_tpu.data.augment import (
     flip_corners,
     letterbox,
     mixup,
+    photometric_augment,
     random_hsv,
     random_perspective,
     xywh_to_corners,
@@ -187,6 +188,7 @@ def _pose_sample(ds: YOLODataset, idx: int, imgsz, hyp, max_labels, rng, augment
     vis = (s.kpts[..., 2].copy() if s.kpts is not None and len(s.kpts)
            else np.ones((len(cls), corners.shape[1] - 4), np.float32))
     if augment and hyp:
+        im = photometric_augment(im, rng)  # pixel-level, keypoint-safe
         im = random_hsv(im, hyp, rng)
         h, w = im.shape[:2]
         if rng.random() < hyp.flipud:
@@ -248,6 +250,9 @@ def make_sample(ds: YOLODataset, idx: int, imgsz: int, hyp: Optional[AugmentHyp]
         if augment and hyp:
             im, corners, cls = random_perspective(im, corners, cls, hyp, rng, border=(0, 0))
     if augment and hyp:
+        # reference v8_transforms order (augment.py:2278-2345): ...MixUp ->
+        # Albumentations (Blur/MedianBlur/ToGray/CLAHE) -> HSV -> flips
+        im = photometric_augment(im, rng)
         im = random_hsv(im, hyp, rng)
         im, corners = flip_corners(im, corners, hyp, rng)
     return _format(im, corners, cls, ds.task, imgsz, max_labels)

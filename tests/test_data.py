@@ -66,6 +66,71 @@ def test_mixup_and_copypaste():
     np.testing.assert_allclose(sorted(c[1][:, 0]), sorted(64 - c1[0][:, 0]))
 
 
+def test_copypaste_ioa_occlusion_and_pixels():
+    """Reference CopyPaste semantics (augment.py:1634-1733): a flipped
+    instance overlapping an existing one with IoA >= 0.30 is NOT pasted;
+    pasted pixels come from the flipped image inside the polygon."""
+    from quan_ultralytics_tpu.data.augment import bbox_ioa, copy_paste
+
+    rng = np.random.default_rng(0)
+    im = np.zeros((64, 64, 3), np.uint8)
+    im[:, :32] = 50   # left half dark
+    im[:, 32:] = 200  # right half bright
+    # instance A at x 4..14 mirrors to x 50..60 (free) -> paste candidate;
+    # instance B centered at x=32 mirrors onto itself (IoA 1.0) -> blocked
+    cA = np.array([[[4, 10], [14, 10], [14, 20], [4, 20]]], np.float32)
+    cB = np.array([[[27, 40], [37, 40], [37, 50], [27, 50]]], np.float32)
+    corners = np.concatenate([cA, cB])
+    cls = np.array([0, 1], np.int32)
+    out, c, k = copy_paste(im, corners, cls, rng, p=1.0)
+    assert len(c) == 3 and list(k) == [0, 1, 0]  # only A pasted
+    # pasted pixels at the mirror location = flipped image there = dark half
+    assert (out[12:18, 52:58] == 50).all()
+    # pixels outside pasted polygons untouched
+    assert (out[:, 32:50] == 200).all()
+
+    # IoA is intersection over box2 area
+    b1 = np.array([[0, 0, 10, 10]], np.float32)
+    b2 = np.array([[5, 0, 15, 10], [20, 20, 30, 30]], np.float32)
+    ioa = bbox_ioa(b1, b2)
+    np.testing.assert_allclose(ioa, [[0.5, 0.0]], atol=1e-5)
+
+
+def test_photometric_augment_branches():
+    """Native Blur/MedianBlur/ToGray/CLAHE equivalents of the reference's
+    Albumentations defaults (augment.py:1847-1850)."""
+    from quan_ultralytics_tpu.data.augment import photometric_augment
+
+    class ScriptedRng:
+        """Deterministic stand-in: random() pops scripted values."""
+
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def random(self):
+            return self.vals.pop(0)
+
+        def integers(self, lo, hi):
+            return 2  # kernel 5
+
+        def uniform(self, lo, hi):
+            return 2.0
+
+    im = (np.random.default_rng(3).random((32, 32, 3)) * 255).astype(np.uint8)
+    # gate passes, all four branches fire
+    rng = ScriptedRng([0.0, 0.0, 0.0, 0.0, 0.0])
+    out = photometric_augment(im, rng)
+    assert out.shape == im.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, im)
+    # ToGray only -> all channels equal
+    rng = ScriptedRng([0.0, 0.5, 0.5, 0.0, 0.5])
+    g = photometric_augment(im, rng)
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+    # nothing fires -> identity
+    rng = ScriptedRng([0.0, 0.5, 0.5, 0.5, 0.5])
+    np.testing.assert_array_equal(photometric_augment(im, rng), im)
+
+
 def test_cls_autoaugment_and_multiaugment():
     from quan_ultralytics_tpu.classification.data import autoaugment, batches, mixup_batch
 
