@@ -152,16 +152,23 @@ class YOLO:
             batch: int = 8, conf: float = 0.001, iou: float = 0.7,
             save_json: Optional[str] = None, save_submission: Optional[str] = None,
             cache: Optional[str] = None, rect: bool = False,
-            mask_native: bool = False, mesh=None) -> Dict[str, float]:
+            mask_native: bool = False, mesh=None,
+            save_dir: Optional[str] = None) -> Dict[str, float]:
+        """save_dir: write the reference's val artifacts (per-class AP table,
+        PR/F1/P/R curve PNGs, confusion-matrix images) there."""
         ds = YOLODataset(data, split=split, task=self.task, cache=cache)
         validator = Validator(self.model, imgsz=imgsz, conf=conf, iou=iou, mesh=mesh)
         out = validator(self._ensure_variables(), ds, batch_size=batch,
                         save_json=save_json, save_submission=save_submission,
-                        rect=rect, mask_native=mask_native)
-        # per-run confusion matrix, printed like reference BaseValidator
-        print(validator.confusion.summary(names=list(ds.names.values())
-                                          if isinstance(ds.names, dict) else ds.names))
+                        rect=rect, mask_native=mask_native, save_dir=save_dir)
+        # per-class table + confusion matrix, printed like the reference
+        # BaseValidator console output
+        names = ds.names if isinstance(ds.names, dict) else {
+            i: n for i, n in enumerate(ds.names)}
+        print(validator.metrics.per_class_table(names))
+        print(validator.confusion.summary(names=list(names.values())))
         self.confusion = validator.confusion
+        self.metrics = validator.metrics
         return out
 
     def embed(self, source, layers: Optional[List[int]] = None,

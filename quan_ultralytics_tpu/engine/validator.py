@@ -68,8 +68,13 @@ class Validator:
     def __call__(self, variables, ds: YOLODataset, batch_size: int = 8,
                  max_labels: int = 256, save_json: Optional[str] = None,
                  save_submission: Optional[str] = None, rect: bool = False,
-                 mask_native: bool = False) -> Dict[str, float]:
+                 mask_native: bool = False,
+                 save_dir: Optional[str] = None) -> Dict[str, float]:
         """Run validation. Optional outputs:
+
+        save_dir: write the reference's val artifacts there (utils/metrics.py
+          :397-520): PR/F1/P/R curve PNGs, confusion_matrix(_normalized).png,
+          and the per-class AP table as per_class.txt.
 
         save_json: COCO-format detections in SOURCE-image coordinates
           (reference detect/val.py pred_to_json / save_json + scale_boxes).
@@ -235,4 +240,13 @@ class Validator:
             suffix = "(M)" if task == "segment" else "(P)"
             out.update({f"{k}{suffix}": v for k, v in metrics2.compute().items()
                         if k.startswith("mAP")})
+        self.metrics = metrics  # per-class table/plots accessible to callers
+        if save_dir is not None:
+            d = Path(save_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            names = getattr(ds, "names", None)
+            metrics.plot(d, names)
+            self.confusion.plot(d, names, normalize=False)
+            self.confusion.plot(d, names, normalize=True)
+            (d / "per_class.txt").write_text(metrics.per_class_table(names) + "\n")
         return out

@@ -179,6 +179,47 @@ class ConfusionMatrix:
                          + "".join(f"{int(self.matrix[i, j])}".rjust(w) for j in range(n)))
         return "\n".join(lines)
 
+    def plot(self, save_dir, names=None, normalize=True):
+        """Confusion-matrix image (reference metrics.py ConfusionMatrix.plot
+        :397-440, matplotlib-imshow rendering instead of seaborn): columns =
+        ground truth, rows = predictions; normalized variant divides by
+        per-column totals. Returns the written path."""
+        from pathlib import Path
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        array = self.matrix / ((self.matrix.sum(0, keepdims=True) + 1e-9)
+                               if normalize else 1.0)
+        n = array.shape[0]
+        labels = list(names) if names and len(names) == self.nc else [
+            str(i) for i in range(self.nc)]
+        if self.task == "detect":
+            labels = labels + ["background"]
+        fig, ax = plt.subplots(figsize=(12, 9), tight_layout=True)
+        im = ax.imshow(array, cmap="Blues", vmin=0.0)
+        fig.colorbar(im, ax=ax)
+        if n < 30:
+            for i in range(n):
+                for j in range(n):
+                    v = array[i, j]
+                    if v >= (0.005 if normalize else 1):
+                        ax.text(j, i, f"{v:.2f}" if normalize else f"{int(v)}",
+                                ha="center", va="center", fontsize=8,
+                                color="white" if v > array.max() / 2 else "black")
+        ax.set_xticks(range(n), labels, rotation=90, fontsize=8)
+        ax.set_yticks(range(n), labels, fontsize=8)
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        title = "Confusion Matrix" + " Normalized" * normalize
+        ax.set_title(title)
+        out = Path(save_dir) / f"{title.lower().replace(' ', '_')}.png"
+        fig.savefig(out, dpi=200)
+        plt.close(fig)
+        return out
+
 
 def compute_ap(recall: np.ndarray, precision: np.ndarray):
     """101-point interpolated AP (reference metrics.py compute_ap)."""
@@ -189,16 +230,35 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray):
     return np.trapezoid(np.interp(x, mrec, mpre), x)
 
 
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box filter over fraction ``f`` of the curve (reference metrics.py
+    smooth :456)."""
+    nf = round(len(y) * f * 2) // 2 + 1
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]))
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
 def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, target_cls: np.ndarray,
                  nc: int, eps: float = 1e-16) -> Dict[str, np.ndarray]:
-    """Reference metrics.py:537 — AP per class over the 10 IoU thresholds."""
+    """Reference metrics.py:537 — AP per class over the 10 IoU thresholds,
+    plus the confidence-axis P/R/F1 curves and the IoU-0.5 PR curve used by
+    the reference's val plot artifacts. Reported per-class P/R are taken at
+    the confidence maximizing the smoothed MEAN F1 (reference :618-620)."""
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     classes, counts = np.unique(target_cls.astype(int), return_counts=True)
+    npts = 1000
+    px = np.linspace(0, 1, npts)  # confidence axis
     ap = np.zeros((nc, tp.shape[1]))
-    p = np.zeros(nc)
-    r = np.zeros(nc)
+    p_curve = np.zeros((nc, npts))
+    r_curve = np.zeros((nc, npts))
+    prec_values = np.zeros((nc, 101))  # precision at 101 recall pts, IoU .5
+    rx = np.linspace(0, 1, 101)
+    n_gt_per_class = np.zeros(nc, int)
     for ci, c in enumerate(classes):
+        if 0 <= c < nc:
+            n_gt_per_class[c] = counts[ci]
         mask = pred_cls == c
         n_gt = counts[ci]
         n_p = mask.sum()
@@ -208,13 +268,22 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, target_
         tpc = tp[mask].cumsum(0)
         recall = tpc / (n_gt + eps)
         precision = tpc / (tpc + fpc)
+        # curves vs confidence (conf descending -> negate for interp)
+        r_curve[c] = np.interp(-px, -conf[mask], recall[:, 0], left=0)
+        p_curve[c] = np.interp(-px, -conf[mask], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
             ap[c, j] = compute_ap(recall[:, j], precision[:, j])
-        # P/R at max-F1 confidence of the 0.5 threshold curve
-        f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
-        k = int(f1.argmax()) if len(f1) else 0
-        p[c], r[c] = precision[k, 0], recall[k, 0]
-    return {"ap": ap, "precision": p, "recall": r, "classes": classes}
+            if j == 0:
+                mrec = np.concatenate(([0.0], recall[:, 0], [1.0]))
+                mpre = np.concatenate(([1.0], precision[:, 0], [0.0]))
+                mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+                prec_values[c] = np.interp(rx, mrec, mpre)
+    f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    i = int(smooth(f1_curve.mean(0), 0.1).argmax()) if len(classes) else 0
+    return {"ap": ap, "precision": p_curve[:, i], "recall": r_curve[:, i],
+            "classes": classes, "px": px, "p_curve": p_curve,
+            "r_curve": r_curve, "f1_curve": f1_curve, "rx": rx,
+            "prec_values": prec_values, "n_gt": n_gt_per_class}
 
 
 @dataclass
@@ -257,12 +326,14 @@ class DetMetrics:
 
     def compute(self) -> Dict[str, float]:
         if not self._tp:
+            self.last = None
             return {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0}
         tp = np.concatenate(self._tp)
         conf = np.concatenate(self._conf)
         pred_cls = np.concatenate(self._pred_cls)
         target_cls = np.concatenate(self._target_cls) if self._target_cls else np.zeros(0)
         res = ap_per_class(tp, conf, pred_cls, target_cls, self.nc)
+        self.last = res  # per-class data for table/plots
         seen = np.unique(target_cls.astype(int))
         ap = res["ap"][seen] if len(seen) else res["ap"][:0]
         return {
@@ -271,3 +342,89 @@ class DetMetrics:
             "precision": float(res["precision"][seen].mean()) if len(seen) else 0.0,
             "recall": float(res["recall"][seen].mean()) if len(seen) else 0.0,
         }
+
+    def per_class_table(self, names=None) -> str:
+        """Reference val-summary table (validator LOGGER output + DetMetrics
+        class_result, metrics.py:798): one row per seen class with Instances,
+        P, R, mAP50, mAP50-95, headed by the all-classes row."""
+        if getattr(self, "last", None) is None:
+            self.compute()
+        res = self.last
+        if res is None:
+            return "(no predictions)"
+        names = names or {}
+        seen = res["classes"]
+        rows = []
+        ap = res["ap"]
+        head = f"{'Class':>18} {'Instances':>10} {'P':>8} {'R':>8} {'mAP50':>8} {'mAP50-95':>9}"
+        all_ap = ap[seen] if len(seen) else ap[:0]
+        rows.append(f"{'all':>18} {int(res['n_gt'].sum()):>10} "
+                    f"{res['precision'][seen].mean() if len(seen) else 0:>8.3f} "
+                    f"{res['recall'][seen].mean() if len(seen) else 0:>8.3f} "
+                    f"{all_ap[:, 0].mean() if all_ap.size else 0:>8.3f} "
+                    f"{all_ap.mean() if all_ap.size else 0:>9.3f}")
+        for c in seen:
+            nm = str(names.get(int(c), int(c)) if isinstance(names, dict)
+                     else (names[int(c)] if int(c) < len(names) else int(c)))
+            rows.append(f"{nm:>18} {res['n_gt'][c]:>10} {res['precision'][c]:>8.3f} "
+                        f"{res['recall'][c]:>8.3f} {ap[c, 0]:>8.3f} {ap[c].mean():>9.3f}")
+        return "\n".join([head] + rows)
+
+    def plot(self, save_dir, names=None):
+        """Write the reference's four val curve artifacts (metrics.py
+        plot_pr_curve :456 / plot_mc_curve :481): PR_curve.png, F1_curve.png,
+        P_curve.png, R_curve.png. Returns the list of written paths."""
+        from pathlib import Path
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if getattr(self, "last", None) is None:
+            self.compute()
+        res = self.last
+        if res is None:
+            return []
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        names = names or {}
+        seen = res["classes"]
+        label = (lambda c: str(names.get(int(c), int(c))) if isinstance(names, dict)
+                 else (lambda c: str(names[int(c)]) if int(c) < len(names) else str(c)))
+        out = []
+
+        # PR curve (recall axis, IoU 0.5)
+        fig, ax = plt.subplots(figsize=(9, 6), tight_layout=True)
+        for c in seen:
+            ax.plot(res["rx"], res["prec_values"][c], linewidth=1,
+                    label=f"{label(c)} {res['ap'][c, 0]:.3f}")
+        if len(seen):
+            ax.plot(res["rx"], res["prec_values"][seen].mean(0), linewidth=3,
+                    color="blue",
+                    label=f"all classes {res['ap'][seen, 0].mean():.3f} mAP@0.5")
+        ax.set_xlabel("Recall"); ax.set_ylabel("Precision")
+        ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+        ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize=8)
+        ax.set_title("Precision-Recall Curve")
+        p = save_dir / "PR_curve.png"
+        fig.savefig(p, dpi=200); plt.close(fig); out.append(p)
+
+        # metric-confidence curves
+        for key, ylabel, fname in (("f1_curve", "F1", "F1_curve.png"),
+                                   ("p_curve", "Precision", "P_curve.png"),
+                                   ("r_curve", "Recall", "R_curve.png")):
+            fig, ax = plt.subplots(figsize=(9, 6), tight_layout=True)
+            for c in seen:
+                ax.plot(res["px"], res[key][c], linewidth=1, label=label(c))
+            if len(seen):
+                y = smooth(res[key][seen].mean(0), 0.05)
+                ax.plot(res["px"], y, linewidth=3, color="blue",
+                        label=f"all classes {y.max():.2f} at {res['px'][y.argmax()]:.3f}")
+            ax.set_xlabel("Confidence"); ax.set_ylabel(ylabel)
+            ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+            ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize=8)
+            ax.set_title(f"{ylabel}-Confidence Curve")
+            p = save_dir / fname
+            fig.savefig(p, dpi=200); plt.close(fig); out.append(p)
+        return out

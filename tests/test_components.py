@@ -169,6 +169,40 @@ def test_confusion_matrix():
     assert "plane" in s and "bg" in s
 
 
+def test_val_surface_artifacts(tmp_path):
+    """Per-class AP table + PR/F1/P/R curve PNGs + confusion-matrix images
+    (reference utils/metrics.py:397-520 val artifacts)."""
+    from quan_ultralytics_tpu.utils.metrics import ConfusionMatrix, DetMetrics
+
+    m = DetMetrics(nc=2)
+    boxes = np.array([[0, 0, 10, 10], [50, 50, 80, 80]], np.float32)
+    m.update(boxes, np.array([0.9, 0.8]), np.array([0.0, 1.0]),
+             boxes, np.array([0.0, 1.0]))
+    # a miss for class 0 on another image
+    m.update(np.zeros((0, 4), np.float32), np.zeros(0), np.zeros(0),
+             np.array([[5, 5, 15, 15]], np.float32), np.array([0.0]))
+    res = m.compute()
+    table = m.per_class_table({0: "cat", 1: "dog"})
+    assert "cat" in table and "dog" in table and "all" in table
+    # class 1 is perfect; class 0 has 1 TP / 2 GT
+    lines = {l.split()[0]: l.split() for l in table.strip().splitlines()[1:]}
+    assert float(lines["dog"][4]) > 0.99          # mAP50
+    assert int(lines["cat"][1]) == 2              # instances
+    assert int(lines["all"][1]) == 3
+    paths = m.plot(tmp_path, {0: "cat", 1: "dog"})
+    assert {p.name for p in paths} == {"PR_curve.png", "F1_curve.png",
+                                       "P_curve.png", "R_curve.png"}
+    assert all(p.exists() and p.stat().st_size > 0 for p in paths)
+
+    cm = ConfusionMatrix(nc=2)
+    cm.process_batch(boxes, np.array([0.9, 0.8]), np.array([0, 1]),
+                     boxes, np.array([0, 1]))
+    p1 = cm.plot(tmp_path, ["cat", "dog"], normalize=False)
+    p2 = cm.plot(tmp_path, ["cat", "dog"], normalize=True)
+    assert p1.name == "confusion_matrix.png" and p1.exists()
+    assert p2.name == "confusion_matrix_normalized.png" and p2.exists()
+
+
 def test_plotting(tmp_path):
     from quan_ultralytics_tpu.utils.plotting import Annotator, plot_curves
 
