@@ -14,8 +14,6 @@ bias on the real component before mixing. Everything else in the reference
 runs untouched.
 """
 
-import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -32,77 +30,19 @@ pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout una
 # ---------------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
-def ref_modules(tmp_path_factory):
-    """Import the reference ultralytics with stubs + the CUDA-mixing patch."""
-    stub_dir = tmp_path_factory.mktemp("tvstub")
-    di = stub_dir / "torchvision-0.19.0.dist-info"
-    di.mkdir()
-    (di / "METADATA").write_text("Metadata-Version: 2.1\nName: torchvision\nVersion: 0.19.0\n")
-    sys.path.insert(0, str(stub_dir))
-    sys.path.insert(0, str(REF))
-    for name in ("torchvision", "thop", "test"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.__version__ = "0.19.0"
-            sys.modules[name] = mod
+def ref_modules():
+    """Import the reference ultralytics with stubs + the CUDA-mixing patch
+    (shared machinery in tests/ref_torch.py, also used by
+    scripts/convergence_map_ab.py)."""
+    from tests.ref_torch import load_patched_reference
 
-    import torch.nn.functional as F
-    from ultralytics.nn.modules import conv as ref_conv
-    from ultralytics.nn import tasks as ref_tasks
-
-    def cuda_mixing_forward(self, x):
-        """Reference QConv2D forward with the CUDA kernel's semantics
-        (quaternion_ops.cu:42-181): input prep identical to the torch
-        fallback (conv.py:421-440), then separable convs + the
-        'Zhou separable CORRECTED' mixing (.cu:152-155) with bias_r added to
-        s_r before mixing (.cu:87)."""
-        if self.is_first_layer:
-            x = self._rgb_to_quaternion(x)
-        elif x.dim() == 4:
-            B, C, H, W = x.shape
-            x = x.view(B, C // 4, 4, H, W).permute(0, 1, 3, 4, 2)
-        x = x.contiguous()
-        kw = dict(stride=self.stride, padding=self.padding,
-                  dilation=self.dilation, groups=self.groups)
-        r = F.conv2d(x[..., 0], self.weight_r, self.bias_r, **kw)
-        i = F.conv2d(x[..., 1], self.weight_i, None, **kw)
-        j = F.conv2d(x[..., 2], self.weight_j, None, **kw)
-        k = F.conv2d(x[..., 3], self.weight_k, None, **kw)
-        out_r = r + i + j + k
-        out_i = r - i - j + k
-        out_j = r + i - j - k
-        out_k = r - i + j - k
-        return torch.stack([out_r, out_i, out_j, out_k], dim=-1)
-
-    orig = ref_conv.QConv2D.forward
-    ref_conv.QConv2D.forward = cuda_mixing_forward
-    yield types.SimpleNamespace(conv=ref_conv, tasks=ref_tasks)
-    ref_conv.QConv2D.forward = orig
+    ns = load_patched_reference()
+    yield ns
+    ns.unpatch()
 
 
-def to_bhwqc(t):
-    """Reference activation -> our BHWQC layout."""
-    a = t.detach().cpu().numpy()
-    if a.ndim == 5:  # [B, C, H, W, 4]
-        return a.transpose(0, 2, 3, 4, 1)
-    if a.ndim == 4:  # [B, 4C, H, W] channel-major (c*4+q, conv.py:430-434)
-        B, C4, H, W = a.shape
-        return a.reshape(B, C4 // 4, 4, H, W).transpose(0, 3, 4, 2, 1)
-    raise AssertionError(a.shape)
-
-
-def _randomize_stats(torch_model, seed=0):
-    """Perturb BN affine + running stats so the port actually tests the
-    [C,4]<->[4,C] transposes (defaults are all-ones/zeros, which would pass
-    under a transposed port too)."""
-    g = torch.Generator().manual_seed(seed)
-    with torch.no_grad():
-        for mod in torch_model.modules():
-            if hasattr(mod, "running_mean") and hasattr(mod, "gamma"):
-                mod.running_mean.normal_(0.0, 0.05, generator=g)
-                mod.running_var.uniform_(0.8, 1.2, generator=g)
-                mod.gamma.uniform_(0.8, 1.2, generator=g)
-                mod.beta.normal_(0.0, 0.05, generator=g)
+from tests.ref_torch import to_bhwqc  # noqa: E402 (re-export for helpers below)
+from tests.ref_torch import randomize_stats as _randomize_stats  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
