@@ -226,3 +226,72 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_u))
     np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_u),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_two_process_distributed_cpu(tmp_path):
+    """Multi-host readiness (SURVEY §2.10): two coordinated CPU processes
+    (2 local devices each) form ONE 4-device global mesh via
+    parallel.distributed.initialize, each contributes its per-host batch
+    rows (process_batch_slice + global_batch), and a jitted global-mesh
+    reduction sees ALL rows — the TPU-pod data-parallel path, minus the
+    hardware. The reference's analog is the torch.distributed.run
+    subprocess launcher (utils/dist.py:25-66)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {str(repo_root)!r})\n"
+        "import numpy as np\n"
+        "from quan_ultralytics_tpu.parallel.distributed import (\n"
+        "    global_batch, initialize, process_batch_slice)\n"
+        "port, pid = sys.argv[1], int(sys.argv[2])\n"
+        "assert initialize(f'localhost:{port}', 2, pid)\n"
+        "import jax\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+        "assert jax.process_count() == 2\n"
+        "assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2\n"
+        "from quan_ultralytics_tpu.parallel.mesh import make_mesh\n"
+        "mesh = make_mesh()\n"
+        "full = np.arange(24, dtype=np.float32).reshape(8, 3)\n"
+        "local = full[process_batch_slice(2, 8)]\n"
+        "gb = global_batch(mesh, {'x': local})\n"
+        "assert gb['x'].shape == (8, 3)\n"
+        "out = jax.jit(lambda x: (x * x).sum(),\n"
+        "              out_shardings=NamedSharding(mesh, P()))(gb['x'])\n"
+        "np.testing.assert_allclose(float(out), (full * full).sum(), rtol=1e-6)\n"
+        "print('WORKER_OK', pid, flush=True)\n"
+    )
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_COMPILATION_CACHE_DIR": "",  # per-process caches would race
+    })
+    procs = [subprocess.Popen([sys.executable, str(worker), str(port), str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out
