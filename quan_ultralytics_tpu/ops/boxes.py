@@ -352,13 +352,17 @@ def non_max_suppression(
         boxes = p[:, :4]
         cls = p[:, 4 : 4 + nc]
         conf = cls.max(axis=-1)
-        cls_id = cls.argmax(axis=-1)
         valid = conf > conf_thres
         score = jnp.where(valid, conf, 0.0)
         # candidate pool: top n_keep by score
         score_top, idx = jax.lax.top_k(score, n_keep)
         boxes_t = boxes[idx]
-        cls_t = cls_id[idx]
+        # class ids only for the survivors: argmax over the full [A, nc]
+        # block is a second whole-tensor HBM pass (part of the 9.4 ms NMS
+        # pred fusion at b128 @1024, profile128); the gathered [n_keep, nc]
+        # rows give the identical winner (same values, same lowest-index
+        # ties) at 1/10th the reads
+        cls_t = cls[idx].argmax(axis=-1)
         valid_t = score_top > conf_thres
         offset = jnp.where(agnostic, 0.0, cls_t.astype(jnp.float32) * max_wh)
         extras_t = p[:, p.shape[-1] - extra_dim:][idx] if extra_dim else None
