@@ -187,16 +187,20 @@ def task_aligned_assigner(
     dense 156.9 img/s, r4 assign_ab — the scan serializes what XLA fuses
     wide). A memory knob for M or A far past the defaults, not a speed knob.
 
-    ``topk_impl`` (default: $QUAN_TOPK_IMPL or "chunk"): "iter" replaces the
-    chunked-sort top-k with k fused argmax+mask passes — identical indices,
-    tie order included, but only supported for topk <= 16 (raises beyond;
-    the sequential passes lose to the sort for large k)."""
+    ``topk_impl`` (default: $QUAN_TOPK_IMPL, else "iter" for topk <= 16 and
+    "chunk" beyond): "iter" replaces the chunked-sort top-k with k fused
+    argmax+mask passes — identical indices, tie order included; requesting
+    it explicitly with topk > 16 raises (the sequential passes lose to the
+    sort for large k). Default flipped to "iter" in round 5: train b24
+    @1024 measured 165.2 vs 156.3 img/s (145.2 vs 153.6 ms/step, the
+    profile's 6.6 ms sort.2 retired; scripts/r5_results.jsonl topk_ab)."""
     if bf16_metric is None:
         bf16_metric = os.environ.get("QUAN_ASSIGNER_BF16") == "1"
     if impl is None:
         impl = os.environ.get("QUAN_ASSIGNER_IMPL", "dense")
     if topk_impl is None:
-        topk_impl = os.environ.get("QUAN_TOPK_IMPL", "chunk")
+        topk_impl = os.environ.get("QUAN_TOPK_IMPL",
+                                   "iter" if topk <= 16 else "chunk")
     return _assigner_jit(pd_scores, pd_bboxes, anc_points, gt_labels,
                          gt_bboxes, mask_gt, num_classes=num_classes,
                          topk=topk, alpha=alpha, beta=beta, eps=eps,

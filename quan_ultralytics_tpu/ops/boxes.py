@@ -357,12 +357,20 @@ def non_max_suppression(
         # candidate pool: top n_keep by score
         score_top, idx = jax.lax.top_k(score, n_keep)
         boxes_t = boxes[idx]
-        # class ids only for the survivors: argmax over the full [A, nc]
-        # block is a second whole-tensor HBM pass (part of the 9.4 ms NMS
-        # pred fusion at b128 @1024, profile128); the gathered [n_keep, nc]
-        # rows give the identical winner (same values, same lowest-index
-        # ties) at 1/10th the reads
-        cls_t = cls[idx].argmax(axis=-1)
+        # Class-id resolution — NEGATIVE RESULT, measured (r5 nms_ab): the
+        # "obvious" win of deferring the argmax to the gathered [n_keep, nc]
+        # candidate rows (skipping a whole-tensor pass) LOSES on TPU: the
+        # row gather lowers to a 7.9 ms kCustom fusion at b128 @1024
+        # (inferprof128 fusion.1) while the full-tensor argmax streams with
+        # the max pass — 983.8 vs 943.1 img/s @1024, 1872.0 vs 1766.6 @640.
+        # Full-tensor argmax + narrow int gather stays the default;
+        # QUAN_NMS_DEFER_ARGMAX=1 keeps the losing variant reproducible.
+        import os
+
+        if os.environ.get("QUAN_NMS_DEFER_ARGMAX", "0") == "1":
+            cls_t = cls[idx].argmax(axis=-1)
+        else:
+            cls_t = cls.argmax(axis=-1)[idx]
         valid_t = score_top > conf_thres
         offset = jnp.where(agnostic, 0.0, cls_t.astype(jnp.float32) * max_wh)
         extras_t = p[:, p.shape[-1] - extra_dim:][idx] if extra_dim else None

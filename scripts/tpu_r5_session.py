@@ -74,6 +74,33 @@ def s_nmscheck():
             emit(section="nmscheck", cfg=f"b{b} @640", error=repr(e)[:250])
 
 
+@section("nms_ab")
+def s_nms_ab():
+    # Deferred-argmax NMS vs the full-tensor argmax, same session/process
+    # (infercheck 941.8 in a session where r4's 985.1 config needs its own
+    # in-session baseline): both @1024 and @640 b128.
+    for defer in ("1", "0"):
+        env = {**BASE, "QUAN_NMS_DEFER_ARGMAX": defer}
+        try:
+            ips, dt, cs = infer_pipeline_imgs(128, env=env, input_u8=True)
+            emit(section="nms_ab", cfg=f"defer={defer} b128 @1024",
+                 img_s=round(ips, 1), ms_iter=round(dt * 1e3, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="nms_ab", cfg=f"defer={defer} b128 @1024",
+                 error=repr(e)[:250])
+        try:
+            ips, dt, cs = infer_pipeline_imgs(
+                128, imgsz=640, nc=80, yaml="yolo11n-quan.yaml", rotated=False,
+                env=env, input_u8=True)
+            emit(section="nms_ab", cfg=f"defer={defer} b128 @640",
+                 img_s=round(ips, 1), ms_iter=round(dt * 1e3, 1),
+                 compile_s=round(cs, 1))
+        except Exception as e:
+            emit(section="nms_ab", cfg=f"defer={defer} b128 @640",
+                 error=repr(e)[:250])
+
+
 @section("stemremat")
 def s_stemremat():
     # VERDICT r5 #4: the stem wgrad copy pair (fusion.2272 + copy.9443,
@@ -271,8 +298,8 @@ def main():
     except Exception:
         pass
     local = {f._section: f for f in [s_health, s_infercheck, s_nmscheck,
-                                     s_stemremat, s_topk_ab, s_i8min,
-                                     s_trainbest, s_traincombo,
+                                     s_nms_ab, s_stemremat, s_topk_ab,
+                                     s_i8min, s_trainbest, s_traincombo,
                                      s_inferprof128, s_trainprof24r]}
     names = sys.argv[1:] or ["health", "infercheck", "nmscheck", "stemremat",
                              "topk_ab", "i8min", "trainbest", "inferprof128",
