@@ -173,16 +173,22 @@ class QConv2D(nn.Module):
             # reference's AMP autocast runs the same mapping in fp16.
             in_dtype = self.dtype or x.dtype
             x = x.astype(in_dtype)
+        pending_map = None  # set on the RGB layer when the mapping should be
+        # checkpointed TOGETHER with the conv (QUAN_STEM_REMAT=1): wrapping
+        # only the mapping still stores its output (it is the conv's saved
+        # input for the wgrad) and the stored copy's layout flip
+        # (copy.9443 + fusion.2272, ~4.7 ms/step b24 @1024) survives — the
+        # whole map+conv must sit inside one jax.checkpoint so the backward
+        # recomputes the mapped tensor inside the conv VJP.
+        # MEASURED NEGATIVE (r5 stemremat v2, b24 @1024): 146.3 vs 166.3
+        # img/s — checkpointing the conv recomputes its full forward (MXU +
+        # its own layout copies) in the backward, far costlier than the
+        # 4.7 ms copy pair it removes. Stays opt-in for memory-pressed
+        # configs; identity-tested (tests/test_stem.py remat test).
         if packed_first:
             import os as _os
 
             assert x.ndim == 4 and x.shape[-1] == 3
-            # QUAN_STEM_REMAT=1: jax.checkpoint the elementwise mapping so
-            # the backward RECOMPUTES the mapped [B,H,W,4] tensor instead of
-            # storing it for the layer-0 wgrad — the stored copy arrives in
-            # the wrong layout and its flip (copy.9443 + fusion.2272,
-            # ~4.6 ms/step b24 @1024, trainprof24i) dominates the mapping's
-            # recompute cost. Inference graphs are unaffected (no backward).
             remat = _os.environ.get("QUAN_STEM_REMAT") == "1"
             if self.packed == "out" and _os.environ.get("QUAN_STEM_L0") == "fine":
                 # A/B alternative: no input pre-pack — layer 0 consumes the
@@ -190,14 +196,19 @@ class QConv2D(nn.Module):
                 # expand_w_packed (a k=5, s=4 conv; ~2.6x fewer FLOPs than
                 # the pre-packed k=2 form and no pack transpose, but the
                 # narrow fine-grid input is XLA's to lay out)
-                map_fn = lambda t: rgb_to_quaternion(t, self.mapping_type)
+                map_fn, map_ri = (lambda t: rgb_to_quaternion(t, self.mapping_type)), 1
             else:
                 # mapping + r=4 space-to-depth fused: the narrow 1024-grid
                 # input never materializes (see ops/stem.py)
                 from quan_ultralytics_tpu.ops.stem import s2d4_rgb_mapped
 
-                map_fn = lambda t: s2d4_rgb_mapped(t, self.mapping_type)
-            x = jax.checkpoint(map_fn)(x) if remat else map_fn(x)
+                map_fn, map_ri = (lambda t: s2d4_rgb_mapped(t, self.mapping_type)), 4
+            if remat and self.packed == "out":
+                pending_map = (map_fn, map_ri)  # fused into the conv below
+            else:
+                # phase_out stem (non-packed) consumes x before the packed
+                # call site; map here (remat wrap not plumbed for that path)
+                x = map_fn(x)
             cin = 1
         elif first:
             import os as _os
@@ -253,7 +264,8 @@ class QConv2D(nn.Module):
                 # cin=1 on the RGB layer, so the packed channel count tells
                 # the input packing: 16 = r=4 pre-pack (s2d4_rgb_mapped),
                 # 1 = unpacked fine grid (QUAN_STEM_L0=fine)
-                ri = {16: 4, 1: 1}[x.shape[-1]]
+                ri = (pending_map[1] if pending_map is not None
+                      else {16: 4, 1: 1}[x.shape[-1]])
             # QUAN_QCONV_IMPL=int8 extends to the packed stem unless
             # QUAN_PACKED_IMPL explicitly overrides
             packed_impl = os.environ.get(
@@ -263,6 +275,17 @@ class QConv2D(nn.Module):
                     and self.c2 < int(os.environ.get("QUAN_INT8_MIN_C", "0"))):
                 packed_impl = "folded"  # narrow stem layers stay bf16 under
                 #                         the mixed-precision int8 gate
+            if pending_map is not None and packed_impl != "int8":
+                map_fn = pending_map[0]
+
+                def mapped_conv(rgb, w_, b_):
+                    return qconv2d_packed(map_fn(rgb).astype(dtype), w_, b_,
+                                          stride=self.s, padding=pad,
+                                          ri=ri, ro=ro, impl=packed_impl)
+
+                return jax.checkpoint(mapped_conv)(x, w, b)
+            if pending_map is not None:  # int8 calibration path: no remat
+                x = pending_map[0](x)
             return qconv2d_packed(
                 x.astype(dtype), w, b,
                 stride=self.s, padding=pad, ri=ri, ro=ro,

@@ -349,3 +349,40 @@ def test_full_model_stem_deep2_train_step():
     ld = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g_d2)])
     rel = float(jnp.linalg.norm(ld - lo) / (jnp.linalg.norm(lo) + 1e-12))
     assert rel < 0.15, f"global gradient relative L2 error {rel}"
+
+
+def test_stem_remat_identity_fwd_and_grad(monkeypatch):
+    """QUAN_STEM_REMAT=1 wraps the RGB mapping + layer-0 conv in one
+    jax.checkpoint (the backward recomputes the mapped tensor inside the
+    conv VJP instead of storing it). Mathematically the identity: forward
+    outputs AND input/param gradients must match the unwrapped path
+    bitwise-close, under both l0 variants."""
+    import jax
+    from quan_ultralytics_tpu.models.tasks import DetectionModel, QUANYOLO
+
+    m = DetectionModel.from_yaml("yolo11n-obb-quan.yaml", nc=3)
+    mod = QUANYOLO(m.module.specs, m.module.save, dtype=m.module.dtype,
+                   mapping_type=m.module.mapping_type, stem_deep=True)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = mod.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params, xin):
+        feats, ang = mod.apply({**v, "params": params}, xin, train=False)
+        return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in feats + ang)
+
+    for l0 in ("prepack", "fine"):
+        if l0 == "fine":
+            monkeypatch.setenv("QUAN_STEM_L0", "fine")
+        monkeypatch.delenv("QUAN_STEM_REMAT", raising=False)
+        base, gbase = jax.value_and_grad(loss, argnums=(0, 1))(v["params"], x)
+        base_v = float(base)
+        monkeypatch.setenv("QUAN_STEM_REMAT", "1")
+        got, ggot = jax.value_and_grad(loss, argnums=(0, 1))(v["params"], x)
+        assert float(got) == pytest.approx(base_v, rel=1e-6), l0
+        for a, b in zip(jax.tree_util.tree_leaves(ggot),
+                        jax.tree_util.tree_leaves(gbase)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=l0)
+        monkeypatch.delenv("QUAN_STEM_REMAT", raising=False)
+        monkeypatch.delenv("QUAN_STEM_L0", raising=False)
